@@ -1,0 +1,66 @@
+"""Triangulation: two-view DLT and masked N-view DLT.
+
+Capability parity with cv::triangulatePoints usage in the reference
+(src/actuator/SequentialActuator.h:212-221, normalized-coordinate variant) and
+OpenMVG track triangulation inside ``reconstruction()``.  Everything is batched
+and mask-driven so variable-length tracks become fixed-capacity array programs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def triangulate_two_view(P0: jnp.ndarray, P1: jnp.ndarray, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+    """DLT triangulation for point batches from two cameras.
+
+    P0, P1: (3, 4) projection matrices (K[R|t] for pixel coords, or [R|t] for
+    normalized coords).  x0, x1: (N, 2) measurements.  Returns (N, 3).
+
+    Solves the 4x4 homogeneous system per point via the eigenvector of A^T A
+    with the smallest eigenvalue (symmetric eigendecomposition batches well on
+    TPU; full SVD of a tall A does not).
+    """
+    rows = []
+    for P, x in ((P0, x0), (P1, x1)):
+        P0r = P[..., None, 0, :]  # (..., 1, 4)
+        P1r = P[..., None, 1, :]
+        P2r = P[..., None, 2, :]
+        rows.append(x[..., :, 0:1] * P2r - P0r)  # (..., N, 4)
+        rows.append(x[..., :, 1:2] * P2r - P1r)
+    A = jnp.stack(rows, axis=-2)  # (..., N, 4, 4)
+    AtA = jnp.swapaxes(A, -1, -2) @ A
+    _, vecs = jnp.linalg.eigh(AtA)
+    Xh = vecs[..., :, 0]  # eigenvector of smallest eigenvalue
+    w = Xh[..., 3:4]
+    w = jnp.where(jnp.abs(w) < 1e-12, jnp.sign(w) * 1e-12 + (w == 0) * 1e-12, w)
+    return Xh[..., :3] / w
+
+
+def triangulate_n_view(P: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked N-view DLT: P (V, 3, 4), x (V, 2), mask (V,) -> (3,).
+
+    Each valid view contributes two rows to A^T A; invalid views are zeroed
+    out, so tracks of any length <= V share one fixed shape.  vmap over tracks.
+    """
+    r0 = x[..., 0:1, None] * P[..., 2:3, :] - P[..., 0:1, :]  # (V, 1, 4)
+    r1 = x[..., 1:2, None] * P[..., 2:3, :] - P[..., 1:2, :]
+    A = jnp.concatenate([r0, r1], axis=-2)  # (V, 2, 4)
+    A = A * mask[..., None, None]
+    A2 = A.reshape(*A.shape[:-3], -1, 4)  # (2V, 4)
+    AtA = jnp.swapaxes(A2, -1, -2) @ A2
+    _, vecs = jnp.linalg.eigh(AtA)
+    Xh = vecs[..., :, 0]
+    w = Xh[..., 3:4]
+    w = jnp.where(jnp.abs(w) < 1e-12, jnp.sign(w) * 1e-12 + (w == 0) * 1e-12, w)
+    return Xh[..., :3] / w
+
+
+def triangulation_angle(C0: jnp.ndarray, C1: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Parallax angle (radians) at X subtended by camera centers C0, C1."""
+    a = C0 - X
+    b = C1 - X
+    cos = jnp.sum(a * b, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1), 1e-12
+    )
+    return jnp.arccos(jnp.clip(cos, -1.0, 1.0))
