@@ -1,0 +1,397 @@
+"""SIFT-class feature detection + description, batched on-device.
+
+TPU-native rebuild of the reference's native feature kernel:
+- vlfeat scale-space + DoG detector (src/nonFree/sift/vl/sift.c:884-1456)
+- orientation assignment (sift.c:1570) and 4x4x8 descriptor (sift.c:1931)
+- the OpenMVG describer wrapper semantics: presets NORMAL/HIGH/ULTRA,
+  peak/edge thresholds, RootSIFT u8 quantization
+  (src/nonFree/sift/SIFT_describer.hpp:53-117, 31-45)
+
+Design (SURVEY.md §7 layer 3, hard part 4 — statistical, not bit-exact,
+parity with vlfeat):
+- The Gaussian pyramid is XLA separable convolution (MXU/VPU) over a static
+  octave loop; shapes halve per octave.
+- Extremum detection is a vectorized 26-neighbor scan via reduce_window
+  min/max pooling, not a scalar triple loop.
+- Keypoints are fixed-capacity: top-K |DoG| scores per octave, masked.
+- Subpixel refinement is a fixed 4-step re-centering loop + final 3x3 solve
+  (vlfeat runs at most 5 data-dependent iterations).
+- Orientation histograms and descriptors avoid scatter entirely: gradients
+  are gathered on a fixed sample grid per keypoint and soft-binned with
+  small einsums (MXU-friendly), instead of vlfeat's per-pixel trilinear
+  scatter accumulation.
+- Only the dominant orientation is emitted per keypoint (vlfeat emits up to
+  4 peaks >= 80% of max; multi-orientation duplication is a capacity x4 cost
+  — tracked as a config flag for a later round).
+
+Output coordinates are in input-image pixels (x right, y down), sigma in
+input-pixel units, angle in radians.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import image as imops
+
+
+@dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    n_octaves: int = 4
+    n_scales: int = 3          # S: detectable scales per octave (vlfeat Nlevels)
+    sigma0: float = 1.6        # base blur at s=0
+    sigma_n: float = 0.5       # assumed input blur
+    first_octave: int = 0      # -1 upsamples the input 2x (HIGH/ULTRA presets)
+    peak_thresh: float = 0.04  # contrast threshold (SIFT_describer.hpp:60);
+                               # applied as peak_thresh/n_scales on [0,1] images
+                               # (parity: SIFT_describer.hpp:155 passes
+                               # 255*peak/num_scales to vlfeat on u8 images)
+    edge_thresh: float = 10.0  # curvature ratio threshold (SIFT_describer.hpp:59)
+    max_per_octave: int = 1024
+    max_features: int = 2048
+    root_sift: bool = True     # SIFT_describer.hpp:31-45
+    orient_bins: int = 36
+    orient_grid: int = 16      # sample grid side for the orientation window
+    desc_grid: int = 16        # sample grid side for the descriptor window
+    magnif: float = 3.0        # descriptor bin width in units of sigma
+    refine_iters: int = 4
+
+
+def preset(name: str, **overrides) -> SiftConfig:
+    """NORMAL / HIGH / ULTRA presets (parity: SIFT_describer.hpp:99-117)."""
+    name = name.upper()
+    if name == "NORMAL":
+        cfg = SiftConfig(peak_thresh=0.04, first_octave=0)
+    elif name == "HIGH":
+        cfg = SiftConfig(peak_thresh=0.01, first_octave=0)
+    elif name == "ULTRA":
+        cfg = SiftConfig(peak_thresh=0.01, first_octave=-1)
+    else:
+        raise ValueError(f"unknown SIFT preset {name!r}")
+    return dataclasses.replace(cfg, **overrides)
+
+
+@struct.dataclass
+class Features:
+    """Fixed-capacity per-image feature set.
+
+    kp: (..., N, 4) = (x, y, sigma, angle); desc: (..., N, 128) float32
+    (RootSIFT, u8-quantized values stored as float); score: (..., N) |DoG|;
+    mask: (..., N) validity."""
+
+    kp: jnp.ndarray
+    desc: jnp.ndarray
+    score: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def n_valid(self):
+        return jnp.sum(self.mask.astype(jnp.int32), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Scale space
+# ---------------------------------------------------------------------------
+
+def _level_sigmas(cfg: SiftConfig) -> np.ndarray:
+    """Blur of each pyramid level l = 0..S+2 in octave-0 pixel units;
+    level l has continuous scale s = l - 1 (so s=0 at l=1)."""
+    S = cfg.n_scales
+    return np.array([cfg.sigma0 * 2.0 ** ((l - 1) / S) for l in range(S + 3)])
+
+
+def build_scale_space(images: jnp.ndarray, cfg: SiftConfig):
+    """images (B, H, W) in [0,1] -> list of per-octave dicts with
+    'levels' (B, S+3, Ho, Wo) and 'dogs' (B, S+2, Ho, Wo)."""
+    S = cfg.n_scales
+    sig = _level_sigmas(cfg)
+    base = images
+    if cfg.first_octave < 0:
+        base = imops.upsample2(base)
+        sigma_in = cfg.sigma_n * 2.0
+    else:
+        sigma_in = cfg.sigma_n
+    # Pre-smooth to the first level's blur.
+    delta = math.sqrt(max(sig[0] ** 2 - sigma_in ** 2, 1e-10))
+    current = imops.blur(base, delta)
+    octaves = []
+    for _ in range(cfg.n_octaves):
+        levels = [current]
+        for l in range(1, S + 3):
+            inc = math.sqrt(max(sig[l] ** 2 - sig[l - 1] ** 2, 1e-10))
+            levels.append(imops.blur(levels[-1], inc))
+        lv = jnp.stack(levels, axis=-3)  # (B, S+3, H, W)
+        octaves.append({"levels": lv, "dogs": lv[..., 1:, :, :] - lv[..., :-1, :, :]})
+        # Next octave seeds from the level with twice the base blur (l = S).
+        current = imops.downsample2(levels[S])
+        if min(current.shape[-2:]) < 8:
+            break
+    return octaves
+
+
+# ---------------------------------------------------------------------------
+# Detection
+# ---------------------------------------------------------------------------
+
+def _extrema_score(dogs: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """Vectorized 26-neighbor extremum scan (replaces the scalar loop at
+    vl/sift.c:1163-1270).  dogs (B, S+2, H, W) -> score (B, S, H, W) for
+    dog indices i = 1..S; zero where not an extremum."""
+    S = dogs.shape[-3] - 2
+    neg_inf = jnp.asarray(-jnp.inf, dogs.dtype)
+    pos_inf = jnp.asarray(jnp.inf, dogs.dtype)
+    mx = jax.lax.reduce_window(
+        dogs, neg_inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME"
+    )
+    mn = jax.lax.reduce_window(
+        dogs, pos_inf, jax.lax.min, (1, 3, 3, 3), (1, 1, 1, 1), "SAME"
+    )
+    center = dogs[..., 1 : S + 1, :, :]
+    th = 0.8 * cfg.peak_thresh / cfg.n_scales  # 80% pre-threshold (sift.c:1232)
+    is_max = (center >= mx[..., 1 : S + 1, :, :]) & (center > th)
+    is_min = (center <= mn[..., 1 : S + 1, :, :]) & (center < -th)
+    score = jnp.abs(center) * (is_max | is_min)
+    # Kill borders (need a full 3x3x3 cube).
+    h, w = dogs.shape[-2:]
+    ym = (jnp.arange(h) >= 1) & (jnp.arange(h) <= h - 2)
+    xm = (jnp.arange(w) >= 1) & (jnp.arange(w) <= w - 2)
+    return score * ym[:, None] * xm[None, :]
+
+
+def _topk_keypoints(score: jnp.ndarray, k: int):
+    """score (B, S, H, W) -> (vals, si, yi, xi) each (B, k)."""
+    b = score.shape[0]
+    S, h, w = score.shape[-3:]
+    flat = score.reshape(b, -1)
+    vals, idx = jax.lax.top_k(flat, min(k, flat.shape[-1]))
+    si = idx // (h * w)
+    rem = idx % (h * w)
+    yi = rem // w
+    xi = rem % w
+    return vals, si + 1, yi, xi  # si back to dog index 1..S
+
+
+def _refine_one(dog: jnp.ndarray, si, yi, xi, cfg: SiftConfig):
+    """Subpixel refinement of one keypoint against a (S+2, H, W) DoG volume.
+    Fixed-iteration re-centering + quadratic fit (vl/sift.c:1272-1456).
+    Returns (x, y, s_cont, value, valid)."""
+    n_dog, h, w = dog.shape
+    S = n_dog - 2
+
+    def load_cube(s, y, x):
+        return jax.lax.dynamic_slice(dog, (s - 1, y - 1, x - 1), (3, 3, 3))
+
+    def grad_hess(c):
+        g = 0.5 * jnp.array(
+            [c[2, 1, 1] - c[0, 1, 1], c[1, 2, 1] - c[1, 0, 1], c[1, 1, 2] - c[1, 1, 0]]
+        )
+        ctr = c[1, 1, 1]
+        Hss = c[2, 1, 1] + c[0, 1, 1] - 2 * ctr
+        Hyy = c[1, 2, 1] + c[1, 0, 1] - 2 * ctr
+        Hxx = c[1, 1, 2] + c[1, 1, 0] - 2 * ctr
+        Hsy = 0.25 * (c[2, 2, 1] - c[2, 0, 1] - c[0, 2, 1] + c[0, 0, 1])
+        Hsx = 0.25 * (c[2, 1, 2] - c[2, 1, 0] - c[0, 1, 2] + c[0, 1, 0])
+        Hyx = 0.25 * (c[1, 2, 2] - c[1, 2, 0] - c[1, 0, 2] + c[1, 0, 0])
+        H = jnp.array([[Hss, Hsy, Hsx], [Hsy, Hyy, Hyx], [Hsx, Hyx, Hxx]])
+        return g, H
+
+    def solve(g, H):
+        Hr = H + 1e-10 * jnp.eye(3, dtype=H.dtype)
+        d = -jnp.linalg.solve(Hr, g)
+        return jnp.where(jnp.all(jnp.isfinite(d)), d, jnp.zeros(3))
+
+    def body(_, carry):
+        s, y, x = carry
+        c = load_cube(s, y, x)
+        g, H = grad_hess(c)
+        d = solve(g, H)
+        # Re-center by one cell where the offset leaves the cell (|d| > 0.6).
+        s = jnp.clip(s + jnp.where(d[0] > 0.6, 1, 0) - jnp.where(d[0] < -0.6, 1, 0), 1, S)
+        y = jnp.clip(y + jnp.where(d[1] > 0.6, 1, 0) - jnp.where(d[1] < -0.6, 1, 0), 1, h - 2)
+        x = jnp.clip(x + jnp.where(d[2] > 0.6, 1, 0) - jnp.where(d[2] < -0.6, 1, 0), 1, w - 2)
+        return (s, y, x)
+
+    si, yi, xi = jax.lax.fori_loop(0, cfg.refine_iters, body, (si, yi, xi))
+    c = load_cube(si, yi, xi)
+    g, H = grad_hess(c)
+    d = solve(g, H)
+    val = c[1, 1, 1] + 0.5 * jnp.dot(g, d)
+    # Edge (curvature) test on the spatial 2x2 Hessian (sift.c:1435-1444).
+    Hyy = H[1, 1]
+    Hxx = H[2, 2]
+    Hyx = H[1, 2]
+    det = Hxx * Hyy - Hyx * Hyx
+    tr = Hxx + Hyy
+    r = cfg.edge_thresh
+    edge_ok = (det > 0) & (tr * tr / jnp.where(det > 0, det, 1.0) < (r + 1.0) ** 2 / r)
+    in_cell = jnp.all(jnp.abs(d) < 1.5)
+    peak_ok = jnp.abs(val) >= cfg.peak_thresh / cfg.n_scales
+    valid = edge_ok & in_cell & peak_ok
+    x = xi + d[2]
+    y = yi + d[1]
+    s_cont = (si - 1).astype(jnp.float32) + d[0]
+    return x, y, s_cont, val, valid, si
+
+
+# ---------------------------------------------------------------------------
+# Orientation + descriptor (gather + soft-bin einsum, no scatter)
+# ---------------------------------------------------------------------------
+
+def _soft_bin_circular(fbin: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Fractional circular bin coordinate (...,) -> weights (..., n_bins)
+    with linear (tent) interpolation between the two nearest bins."""
+    centers = jnp.arange(n_bins, dtype=fbin.dtype)
+    d = jnp.abs(fbin[..., None] - centers)
+    d = jnp.minimum(d, n_bins - d)  # circular distance
+    return jnp.maximum(0.0, 1.0 - d)
+
+
+def _soft_bin_linear(fbin: jnp.ndarray, n_bins: int) -> jnp.ndarray:
+    """Non-circular tent soft-binning."""
+    centers = jnp.arange(n_bins, dtype=fbin.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(fbin[..., None] - centers))
+
+
+def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, x, y, sigma, cfg: SiftConfig):
+    """Dominant gradient orientation for one keypoint (vl/sift.c:1570-1703).
+    mag/ang: (H, W) of the keypoint's pyramid level."""
+    G = cfg.orient_grid
+    win_r = 3.0 * 1.5 * sigma  # vlfeat window radius
+    lin = jnp.linspace(-1.0, 1.0, G)
+    du = lin[None, :] * win_r
+    dv = lin[:, None] * win_r
+    ys = y + dv
+    xs = x + du
+    m = imops.bilinear_sample(mag, ys, xs)
+    a = imops.bilinear_sample(ang, ys, xs)
+    r2 = (du / jnp.maximum(win_r, 1e-6)) ** 2 + (dv / jnp.maximum(win_r, 1e-6)) ** 2
+    wgt = jnp.exp(-r2 * (win_r ** 2) / (2.0 * (1.5 * sigma) ** 2)) * (r2 <= 1.0)
+    fbin = a / (2.0 * np.pi) * cfg.orient_bins
+    wb = _soft_bin_circular(fbin, cfg.orient_bins)  # (G, G, B)
+    hist = jnp.einsum("gh,ghb->b", m * wgt, wb)
+    # Smooth the circular histogram (vlfeat smooths 6x with a box filter).
+    for _ in range(6):
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+    peak = jnp.argmax(hist)
+    # Parabolic peak interpolation.
+    hp = hist[(peak + 1) % cfg.orient_bins]
+    hm = hist[(peak - 1) % cfg.orient_bins]
+    h0 = hist[peak]
+    denom = hm - 2.0 * h0 + hp
+    dp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hm - hp) / denom, 0.0)
+    dp = jnp.clip(dp, -0.5, 0.5)
+    return jnp.mod((peak + dp) / cfg.orient_bins * 2.0 * np.pi, 2.0 * np.pi)
+
+
+def _descriptor_one(mag, ang, x, y, sigma, theta, cfg: SiftConfig):
+    """128-D descriptor for one keypoint (vl/sift.c:1931-2080), sampled on a
+    fixed GxG grid in the rotated keypoint frame and soft-binned into
+    4 x 4 x 8 with an einsum instead of trilinear scatter."""
+    NBP, NBO = 4, 8
+    G = cfg.desc_grid
+    sbp = cfg.magnif * sigma  # spatial bin size in pixels
+    half = (NBP + 1) / 2.0  # sample out to the bin support edge (2.5 bins)
+    lin = jnp.linspace(-half, half, G)
+    nx = lin[None, :] * jnp.ones((G, 1))  # bin-unit coords
+    ny = lin[:, None] * jnp.ones((1, G))
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    xs = x + (ct * nx - st * ny) * sbp
+    ys = y + (st * nx + ct * ny) * sbp
+    m = imops.bilinear_sample(mag, ys, xs)
+    a = imops.bilinear_sample(ang, ys, xs)
+    # Gaussian window over the descriptor support (sigma_win = NBP/2 bins).
+    wgt = jnp.exp(-(nx ** 2 + ny ** 2) / (2.0 * (NBP / 2.0) ** 2))
+    rel = jnp.mod(a - theta, 2.0 * np.pi)
+    wo = _soft_bin_circular(rel / (2.0 * np.pi) * NBO, NBO)  # (G, G, 8)
+    wx = _soft_bin_linear(nx + (NBP - 1) / 2.0, NBP)  # (G, G, 4)
+    wy = _soft_bin_linear(ny + (NBP - 1) / 2.0, NBP)
+    desc = jnp.einsum("gh,ghy,ghx,gho->yxo", m * wgt, wy, wx, wo)
+    d = desc.reshape(-1)
+    # Normalize -> clip 0.2 -> renormalize (sift.c:2054-2069).
+    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+    d = jnp.minimum(d, 0.2)
+    d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+    if cfg.root_sift:
+        # RootSIFT (SIFT_describer.hpp:31-45): sqrt of L1-normalized.
+        d = jnp.sqrt(d / jnp.maximum(jnp.sum(d), 1e-12))
+    # u8 quantization x512 (SIFT_describer.hpp:204-210), kept as float.
+    return jnp.minimum(jnp.floor(512.0 * d), 255.0)
+
+
+# ---------------------------------------------------------------------------
+# Top level
+# ---------------------------------------------------------------------------
+
+def _detect_octave(oct_data, octave_idx: int, cfg: SiftConfig):
+    """One octave: detect + refine + orient + describe. Returns per-image
+    fixed-capacity features in input-image coordinates."""
+    dogs = oct_data["dogs"]
+    levels = oct_data["levels"]
+    S = cfg.n_scales
+    k = min(cfg.max_per_octave, dogs.shape[-1] * dogs.shape[-2] * S)
+    score = _extrema_score(dogs, cfg)
+    vals, si, yi, xi = _topk_keypoints(score, k)
+
+    refine = jax.vmap(jax.vmap(partial(_refine_one, cfg=cfg), in_axes=(None, 0, 0, 0)))
+    x, y, s_cont, val, valid, s_idx = refine(dogs, si, yi, xi)
+    valid = valid & (vals > 0)
+
+    # Gradients for all levels once: (B, S+3, H, W).
+    mag, ang = imops.gradients(levels)
+
+    def per_kp(mag_l, ang_l, x, y, s_cont, s_idx):
+        m = mag_l[s_idx]  # dynamic level gather
+        a = ang_l[s_idx]
+        sigma_oct = cfg.sigma0 * 2.0 ** (s_cont / S)
+        theta = _orientation_one(m, a, x, y, sigma_oct, cfg)
+        desc = _descriptor_one(m, a, x, y, sigma_oct, theta, cfg)
+        return theta, desc, sigma_oct
+
+    theta, desc, sigma_oct = jax.vmap(
+        jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0))
+    )(mag, ang, x, y, s_cont, s_idx)
+
+    scale = 2.0 ** (octave_idx + cfg.first_octave)
+    kp = jnp.stack([x * scale, y * scale, sigma_oct * scale, theta], axis=-1)
+    return Features(kp=kp, desc=desc, score=jnp.abs(val), mask=valid)
+
+
+def sift_features(images: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
+    """Full detector+describer over a batch: images (B, H, W) float32 in
+    [0, 1] -> Features with capacity cfg.max_features per image.
+
+    The TPU equivalent of SIFT_Image_describer::Describe
+    (src/nonFree/sift/SIFT_describer.hpp:126-216): one jit-able array program
+    instead of an OpenMP loop over octaves and keypoints."""
+    octaves = build_scale_space(images, cfg)
+    feats = [_detect_octave(o, i, cfg) for i, o in enumerate(octaves)]
+    kp = jnp.concatenate([f.kp for f in feats], axis=-2)
+    desc = jnp.concatenate([f.desc for f in feats], axis=-2)
+    score = jnp.concatenate([f.score for f in feats], axis=-1)
+    mask = jnp.concatenate([f.mask for f in feats], axis=-1)
+    # Global top max_features by score.
+    n = cfg.max_features
+    masked_score = jnp.where(mask, score, -1.0)
+    if masked_score.shape[-1] > n:
+        top_score, idx = jax.lax.top_k(masked_score, n)
+        kp = jnp.take_along_axis(kp, idx[..., None], axis=-2)
+        desc = jnp.take_along_axis(desc, idx[..., None], axis=-2)
+        mask = jnp.take_along_axis(mask, idx, axis=-1)
+        score = top_score
+    else:
+        score = masked_score
+    return Features(kp=kp, desc=desc, score=score, mask=mask & (score > 0))
+
+
+@partial(jax.jit, static_argnums=(1,))
+def detect_and_describe(images: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
+    """Jitted entry point; accepts (B, H, W[, 3]) uint8 or float."""
+    gray = imops.to_grayscale(images)
+    return sift_features(gray, cfg)

@@ -1,0 +1,109 @@
+"""Image array ops: separable Gaussian blur, resampling, bilinear gather.
+
+TPU-native replacements for the vlfeat image kernels
+(src/nonFree/sift/vl/imopv.c: vl_imconvcol — column convolution with SSE2
+fast paths): here convolution is expressed as XLA `conv_general_dilated`,
+which the compiler maps onto the MXU/VPU directly, so no hand-SIMD is needed
+(SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def gaussian_kernel1d(sigma: float, radius: int | None = None) -> np.ndarray:
+    """Static (trace-time) 1-D Gaussian taps, matching vlfeat's truncation of
+    4*sigma (vl/imopv.c usage in sift.c:795 _vl_sift_smooth)."""
+    if radius is None:
+        radius = max(1, int(math.ceil(4.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / max(sigma, 1e-8)) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def blur(images: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur over (..., H, W) with SAME edge-replicate
+    padding (vlfeat uses VL_PAD_BY_CONTINUITY, sift.c:800)."""
+    if sigma <= 0:
+        return images
+    k = jnp.asarray(gaussian_kernel1d(sigma))
+    r = (k.shape[0] - 1) // 2
+    batch_shape = images.shape[:-2]
+    h, w = images.shape[-2:]
+    x = images.reshape((-1, 1, h, w))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    x = lax.conv_general_dilated(xp, k.reshape(1, 1, -1, 1), (1, 1), "VALID")
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
+    x = lax.conv_general_dilated(xp, k.reshape(1, 1, 1, -1), (1, 1), "VALID")
+    return x.reshape(*batch_shape, h, w)
+
+
+def downsample2(images: jnp.ndarray) -> jnp.ndarray:
+    """Decimate by 2 (every other pixel — vl_sift_process_next_octave's
+    copy_and_downsample, sift.c:750-777)."""
+    return images[..., ::2, ::2]
+
+
+def upsample2(images: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upsample (for first_octave = -1, sift.c:805-862)."""
+    h, w = images.shape[-2:]
+    return resize_bilinear(images, (2 * h, 2 * w))
+
+
+def resize_bilinear(images: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
+    import jax
+
+    return jax.image.resize(images, images.shape[:-2] + shape, method="bilinear")
+
+
+def bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear gather from img (H, W) at float coords y, x (any shape).
+    Coordinates are clamped to the image (edge padding semantics)."""
+    h, w = img.shape[-2:]
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = y - y0
+    fx = x - x0
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def gradients(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference gradient magnitude and angle over (..., H, W)
+    (vl_sift_update_gradient, sift.c:1458-1544).  Angle in [0, 2pi)."""
+    gx = 0.5 * (jnp.roll(images, -1, axis=-1) - jnp.roll(images, 1, axis=-1))
+    gy = 0.5 * (jnp.roll(images, -1, axis=-2) - jnp.roll(images, 1, axis=-2))
+    # Zero the wrap-around columns/rows (use one-sided values would be better;
+    # keypoints near borders are masked anyway).
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-20)
+    ang = jnp.mod(jnp.arctan2(gy, gx), 2.0 * np.pi)
+    return mag, ang
+
+
+def to_grayscale(images: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3) uint8/float -> (..., H, W) float32 in [0, 1]."""
+    images = jnp.asarray(images)
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
+    if images.ndim >= 3 and images.shape[-1] == 3:
+        images = (
+            0.299 * images[..., 0] + 0.587 * images[..., 1] + 0.114 * images[..., 2]
+        )
+    return images.astype(jnp.float32)
