@@ -1,0 +1,337 @@
+"""Huber-robust bundle adjustment: Levenberg-Marquardt with a matrix-free
+Schur-complement solve.
+
+Capability parity with the reference BA (src/adjuster/BundleAdjuster.h):
+- residual = reproject(angle-axis, t, intrinsics, X) - uv, 2 per observation
+  (ReprojectCost::operator(), BundleAdjuster.h:40-68)
+- Huber loss delta = 4 px (BundleAdjuster.h:109)
+- gauge: first camera held constant (BundleAdjuster.h:105)
+- parameter blocks: camera 6 (aa + t) (+4 intrinsics fx,fy,cx,cy when
+  refine_intrinsics, mirroring the 4-param intrinsic block at :82-86),
+  point 3
+- solver: the reference uses Ceres SPARSE_SCHUR + JACOBI + EIGEN_SPARSE on
+  one thread (:167-174).  CPU sparse Cholesky does not map to the MXU; the
+  TPU-native equivalent (SURVEY.md §7 hard part 3) eliminates points exactly
+  (3x3 block inverses, embarrassingly parallel) and solves the reduced
+  camera system with block-Jacobi preconditioned CG where every operation
+  is a segment-sum / gather over the observation table — no sparse matrix
+  is ever materialized, and every step is an O(obs) dense-batched kernel.
+
+The whole solve is one jit-able function of fixed-capacity arrays; masked
+slots (cameras/points/observations) contribute zeros.  This same structure
+shards over a device mesh by partitioning the observation table
+(tpusfm.parallel.dist_ba).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..core import lie
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    max_iters: int = 20            # LM outer iterations
+    huber_delta: float = 4.0       # px (BundleAdjuster.h:109)
+    refine_intrinsics: bool = False  # ADJUST_ALL parity (sparseBuilder.cpp:1292)
+    cg_iters: int = 50
+    cg_tol: float = 1e-6
+    lambda_init: float = 1e-4
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    lambda_min: float = 1e-10
+    lambda_max: float = 1e8
+    fix_first_cam: bool = True     # gauge (BundleAdjuster.h:105)
+
+    @property
+    def cam_dim(self) -> int:
+        return 10 if self.refine_intrinsics else 6
+
+
+# ---------------------------------------------------------------------------
+# Residuals and Jacobians
+# ---------------------------------------------------------------------------
+
+def _project_one(cam_params: jnp.ndarray, intr_static: jnp.ndarray, X: jnp.ndarray,
+                 refine_intrinsics: bool) -> jnp.ndarray:
+    """Project one point through one camera given the packed parameter vector
+    [aa(3), t(3)(, fx, fy, cx, cy)]. intr_static carries the full 7-vector
+    (distortion always from here; focal/pp overridden when refined)."""
+    aa = cam_params[:3]
+    t = cam_params[3:6]
+    if refine_intrinsics:
+        intr = jnp.concatenate([cam_params[6:10], intr_static[4:7]])
+    else:
+        intr = intr_static
+    Xc = lie.rotate_aa(aa, X) + t
+    return cam.camera_to_pixel(intr, Xc)
+
+
+def _residual_one(cam_params, X, intr_static, uv, refine_intrinsics):
+    return _project_one(cam_params, intr_static, X, refine_intrinsics) - uv
+
+
+def _obs_jacobians(cam_params_o, X_o, intr_o, uv_o, refine_intrinsics: bool):
+    """Per-observation residual + Jacobians, vmapped over the obs table.
+    Returns r (O, 2), Jc (O, 2, D), Jp (O, 2, 3)."""
+    def per_obs(cp, X, intr, uv):
+        r = _residual_one(cp, X, intr, uv, refine_intrinsics)
+        Jc = jax.jacfwd(lambda c: _residual_one(c, X, intr, uv, refine_intrinsics))(cp)
+        Jp = jax.jacfwd(lambda x: _residual_one(cp, x, intr, uv, refine_intrinsics))(X)
+        return r, Jc, Jp
+
+    return jax.vmap(per_obs)(cam_params_o, X_o, intr_o, uv_o)
+
+
+def _huber_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weight sqrt(rho'(s)) for the Huber loss on the residual norm:
+    w = 1 inside delta, delta/||r|| outside. (O,)"""
+    nrm = jnp.linalg.norm(r, axis=-1)
+    return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(nrm, 1e-12)))
+
+
+def robust_cost(r: jnp.ndarray, mask: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """Total Huber cost over masked observations."""
+    s = jnp.sum(r * r, axis=-1)
+    nrm = jnp.sqrt(s + 1e-20)
+    quad = 0.5 * s
+    lin = delta * (nrm - 0.5 * delta)
+    return jnp.sum(jnp.where(nrm <= delta, quad, lin) * mask)
+
+
+# ---------------------------------------------------------------------------
+# Schur-complement building blocks (all segment-sums over the obs table)
+# ---------------------------------------------------------------------------
+
+def _build_system(cam_params, points, intr_static, obs_cam, obs_pt, obs_uv,
+                  obs_w, cfg: BAConfig):
+    """Assemble the per-observation weighted Jacobian blocks and the
+    segment-summed normal-equation pieces."""
+    cp_o = cam_params[obs_cam]
+    X_o = points[obs_pt]
+    intr_o = intr_static[obs_cam]
+    r, Jc, Jp = _obs_jacobians(cp_o, X_o, intr_o, obs_uv, cfg.refine_intrinsics)
+    w = (_huber_weight(r, cfg.huber_delta) * obs_w)[:, None]
+    r = r * w
+    Jc = Jc * w[..., None]
+    Jp = Jp * w[..., None]
+    C = cam_params.shape[0]
+    P = points.shape[0]
+    # Per-camera DxD and per-point 3x3 diagonal blocks.
+    Hcc = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jc, Jc), obs_cam, C)
+    Hpp = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jp, Jp), obs_pt, P)
+    gc = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jc, r), obs_cam, C)
+    gp = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jp, r), obs_pt, P)
+    # Per-observation coupling block W_o = Jc^T Jp (D, 3).
+    Wo = jnp.einsum("oki,okj->oij", Jc, Jp)
+    return r, Jc, Jp, Wo, Hcc, Hpp, gc, gp
+
+
+def _schur_matvec(v, Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, P):
+    """Matrix-free S @ v for the reduced camera system
+    S = Hcc - W Hpp^{-1} W^T, with v (C, D)."""
+    # y_p = sum_{o in p} W_o^T v_{cam(o)}
+    Wv = jnp.einsum("oij,oi->oj", Wo, v[obs_cam])  # (O, 3)
+    y = jax.ops.segment_sum(Wv, obs_pt, P)  # (P, 3)
+    z = jnp.einsum("pij,pj->pi", Hpp_inv, y)  # (P, 3)
+    back = jnp.einsum("oij,oj->oi", Wo, z[obs_pt])  # (O, D)
+    WHWv = jax.ops.segment_sum(back, obs_cam, C)  # (C, D)
+    Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
+    return Hv - WHWv
+
+
+def _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C):
+    """Exact diagonal blocks of S for the block-Jacobi preconditioner
+    (the TPU analog of Ceres' SCHUR_JACOBI)."""
+    contrib = jnp.einsum(
+        "oij,ojk,olk->oil", Wo, Hpp_inv[obs_pt], Wo
+    )  # (O, D, D)
+    S_diag = Hcc_d - jax.ops.segment_sum(contrib, obs_cam, C)
+    return S_diag
+
+
+def _pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
+    """Block-Jacobi preconditioned conjugate gradients on (C, D) vectors."""
+    def apply_M(r):
+        return jnp.einsum("cij,cj->ci", M_inv_blocks, r)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = apply_M(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    b2 = jnp.sum(b * b)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_M(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    def cond(carry):
+        _, r, _, _, it = carry
+        return (it < iters) & (jnp.sum(r * r) > tol * tol * jnp.maximum(b2, 1e-30))
+
+    x, r, *_ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x
+
+
+def _inv3(M):
+    """Batched closed-form 3x3 inverse with ridge for masked/empty blocks."""
+    M = M + 1e-12 * jnp.eye(3, dtype=M.dtype)
+    return jnp.linalg.inv(M)
+
+
+def _invD(M):
+    D = M.shape[-1]
+    M = M + 1e-12 * jnp.eye(D, dtype=M.dtype)
+    return jnp.linalg.inv(M)
+
+
+# ---------------------------------------------------------------------------
+# LM driver
+# ---------------------------------------------------------------------------
+
+def _pack_cam_params(intr, cam_rot, cam_t, cfg: BAConfig):
+    if cfg.refine_intrinsics:
+        return jnp.concatenate([cam_rot, cam_t, intr[:, :4]], axis=-1)
+    return jnp.concatenate([cam_rot, cam_t], axis=-1)
+
+
+def _unpack_cam_params(cp, intr_static, cfg: BAConfig):
+    cam_rot = cp[:, :3]
+    cam_t = cp[:, 3:6]
+    if cfg.refine_intrinsics:
+        intr = jnp.concatenate([cp[:, 6:10], intr_static[:, 4:7]], axis=-1)
+    else:
+        intr = intr_static
+    return intr, cam_rot, cam_t
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def bundle_adjust(
+    intr: jnp.ndarray,       # (C, 7)
+    cam_rot: jnp.ndarray,    # (C, 3) axis-angle
+    cam_t: jnp.ndarray,      # (C, 3)
+    cam_mask: jnp.ndarray,   # (C,)
+    points: jnp.ndarray,     # (P, 3)
+    point_mask: jnp.ndarray, # (P,)
+    obs_cam: jnp.ndarray,    # (O,)
+    obs_pt: jnp.ndarray,     # (O,)
+    obs_uv: jnp.ndarray,     # (O, 2)
+    obs_mask: jnp.ndarray,   # (O,)
+    cfg: BAConfig = BAConfig(),
+):
+    """Run LM bundle adjustment. Returns (intr, cam_rot, cam_t, points, info)
+    where info = {'initial_cost', 'final_cost', 'iterations', 'lambda'}
+    (the reference prints initial/final RMSE + time, BundleAdjuster.h:134-139).
+    """
+    C = intr.shape[0]
+    P = points.shape[0]
+    D = cfg.cam_dim
+    obs_w = obs_mask.astype(jnp.float32)
+    # Gauge: freeze camera 0's block (first registered camera in slot 0).
+    upd_mask = cam_mask.astype(jnp.float32)[:, None]
+    if cfg.fix_first_cam:
+        upd_mask = upd_mask.at[0].set(0.0)
+    pt_upd = point_mask.astype(jnp.float32)[:, None]
+
+    cp0 = _pack_cam_params(intr, cam_rot, cam_t, cfg)
+
+    def cost_of(cp, pts):
+        cpo = cp[obs_cam]
+        Xo = pts[obs_pt]
+        io = intr_static[obs_cam]
+        r = jax.vmap(lambda c, x, i, u: _residual_one(c, x, i, u, cfg.refine_intrinsics))(
+            cpo, Xo, io, obs_uv
+        )
+        return robust_cost(r, obs_w, cfg.huber_delta)
+
+    intr_static = intr
+
+    def lm_step(carry, _):
+        cp, pts, lam, cost, done = carry
+
+        r, Jc, Jp, Wo, Hcc, Hpp, gc, gp = _build_system(
+            cp, pts, intr_static, obs_cam, obs_pt, obs_uv, obs_w, cfg
+        )
+        eyeD = jnp.eye(D, dtype=cp.dtype)
+        eye3 = jnp.eye(3, dtype=cp.dtype)
+        # Additive LM damping on the diagonal blocks.
+        Hcc_d = Hcc + lam * eyeD[None]
+        Hpp_d = Hpp + lam * eye3[None]
+        Hpp_inv = _inv3(Hpp_d)
+
+        # Reduced system: S dc = -gc + W Hpp^-1 gp
+        z = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
+        back = jnp.einsum("oij,oj->oi", Wo, z[obs_pt])
+        rhs = -gc + jax.ops.segment_sum(back, obs_cam, C)
+        rhs = rhs * upd_mask
+
+        S_diag = _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C)
+        M_inv = _invD(S_diag)
+
+        def mv(v):
+            return _schur_matvec(v * upd_mask, Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, P) * upd_mask
+
+        dc = _pcg(mv, rhs, M_inv, cfg.cg_iters, cfg.cg_tol) * upd_mask
+        # Back-substitute points: dp = -Hpp^-1 (gp + W^T dc)
+        Wtdc = jax.ops.segment_sum(
+            jnp.einsum("oij,oi->oj", Wo, dc[obs_cam]), obs_pt, P
+        )
+        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtdc) * pt_upd
+
+        cp_new = cp + dc
+        pts_new = pts + dp
+        new_cost = cost_of(cp_new, pts_new)
+        accept = (new_cost < cost) & ~done
+        cp = jnp.where(accept, cp_new, cp)
+        pts = jnp.where(accept, pts_new, pts)
+        cost_out = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(
+            accept,
+            jnp.maximum(lam * cfg.lambda_down, cfg.lambda_min),
+            jnp.minimum(lam * cfg.lambda_up, cfg.lambda_max),
+        )
+        # Converged when an accepted step barely improves the cost.
+        rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
+        done = done | (accept & (rel < 1e-8))
+        return (cp, pts, lam, cost_out, done), cost_out
+
+    init_cost = cost_of(cp0, points)
+    (cp, pts, lam, final_cost, _), _costs = jax.lax.scan(
+        lm_step, (cp0, points, jnp.float32(cfg.lambda_init), init_cost, jnp.bool_(False)),
+        None, length=cfg.max_iters,
+    )
+    intr_out, rot_out, t_out = _unpack_cam_params(cp, intr_static, cfg)
+    info = {
+        "initial_cost": init_cost,
+        "final_cost": final_cost,
+        "lambda": lam,
+        "n_obs": jnp.sum(obs_mask),
+    }
+    return intr_out, rot_out, t_out, pts, info
+
+
+def bundle_adjust_scene(scene, cfg: BAConfig = BAConfig()):
+    """Convenience wrapper over a tpusfm.sfm.scene.Scene."""
+    intr, rot, t, pts, info = bundle_adjust(
+        scene.intr, scene.cam_rot, scene.cam_t, scene.cam_mask,
+        scene.points, scene.point_mask,
+        scene.obs_cam, scene.obs_pt, scene.obs_uv, scene.obs_mask,
+        cfg,
+    )
+    return scene.replace(intr=intr, cam_rot=rot, cam_t=t, points=pts), info
