@@ -234,6 +234,8 @@ def bundle_adjust(
     obs_uv: jnp.ndarray,     # (O, 2)
     obs_mask: jnp.ndarray,   # (O,)
     cfg: BAConfig = BAConfig(),
+    cam_free_mask: jnp.ndarray | None = None,  # (C,) — False freezes a camera
+                                               # (local-BA support)
 ):
     """Run LM bundle adjustment. Returns (intr, cam_rot, cam_t, points, info)
     where info = {'initial_cost', 'final_cost', 'iterations', 'lambda'}
@@ -244,7 +246,8 @@ def bundle_adjust(
     D = cfg.cam_dim
     obs_w = obs_mask.astype(jnp.float32)
     # Gauge: freeze camera 0's block (first registered camera in slot 0).
-    upd_mask = cam_mask.astype(jnp.float32)[:, None]
+    free = cam_mask if cam_free_mask is None else (cam_mask & cam_free_mask)
+    upd_mask = free.astype(jnp.float32)[:, None]
     if cfg.fix_first_cam:
         upd_mask = upd_mask.at[0].set(0.0)
     pt_upd = point_mask.astype(jnp.float32)[:, None]
