@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end sparse SfM throughput on the real device.
+
+Headline metric (BASELINE.json): frames/s end-to-end sparse SfM on a
+synthetic 20-image sequence (config 2) — SIFT features, exhaustive
+ratio-test matching, geometric filtering, incremental reconstruction with
+Schur-complement BA, colorization.
+
+The reference publishes no numbers (BASELINE.md) and its C++ stack
+(OpenMVG/OpenCV/Ceres/OpenMVS) is not buildable in this image, so
+``vs_baseline`` is computed against REFERENCE_FPS_ESTIMATE — a documented
+estimate of the reference pipeline's throughput on a desktop CPU for the
+same workload (OpenMVG SIFT ~0.5-1 s/image + exhaustive cascade-hash
+matching + incremental SfM over 20 640x480 images ≈ 1 fps end-to-end).
+Replace with a measured number when the reference can be run.
+
+Prints exactly one JSON line on stdout; diagnostics go to stderr.
+
+Env knobs: BENCH_VIEWS, BENCH_H, BENCH_W, BENCH_FEATURES, BENCH_PRESET=small
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 1.0  # see module docstring
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    small = os.environ.get("BENCH_PRESET") == "small"
+    n_views = int(os.environ.get("BENCH_VIEWS", 8 if small else 20))
+    img_h = int(os.environ.get("BENCH_H", 240 if small else 480))
+    img_w = int(os.environ.get("BENCH_W", 320 if small else 640))
+    n_feat = int(os.environ.get("BENCH_FEATURES", 768 if small else 1024))
+
+    import jax
+
+    if os.environ.get("BENCH_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+    log(f"devices: {jax.devices()}")
+
+    from tpusfm.pipeline.config import config_from_overrides
+    from tpusfm.pipeline.sparse import run_sparse
+    from tpusfm.utils.synth_render import render_orbit_images
+    from tpusfm.utils import metrics
+
+    t0 = time.time()
+    images, gt = render_orbit_images(
+        n_views=n_views, img_h=img_h, img_w=img_w,
+        focal=0.9 * img_w, arc_deg=110.0, seed=0,
+    )
+    log(f"rendered {n_views} views {img_h}x{img_w} in {time.time()-t0:.1f}s")
+
+    cfg = config_from_overrides(**{
+        "sift.n_octaves": 3 if small else 4,
+        "sift.max_per_octave": n_feat,
+        "sift.max_features": n_feat,
+        "matching.pair_chunk": 16 if small else 32,
+        "filter.max_iterations": 128 if small else 256,
+        "feature_batch": 4,
+    })
+
+    # Warmup: full run to compile every kernel at the bench shapes.
+    t0 = time.time()
+    scene, report = run_sparse(images, gt["intr"], cfg, key=jax.random.PRNGKey(0))
+    log(f"warmup (incl. compile): {time.time()-t0:.1f}s; report {report['times_s']}")
+
+    # Timed steady-state run.
+    t0 = time.time()
+    scene, report = run_sparse(images, gt["intr"], cfg, key=jax.random.PRNGKey(1))
+    dt = time.time() - t0
+    fps = n_views / dt
+
+    reg = np.asarray(scene.cam_mask)
+    centers = np.asarray(scene.camera_centers())[reg]
+    ate = metrics.ate_rmse(centers, gt["centers"][reg]) if reg.sum() >= 3 else float("nan")
+    log(
+        f"steady-state: {dt:.1f}s -> {fps:.3f} frames/s | "
+        f"registered {reg.sum()}/{n_views}, points {report['n_points']}, "
+        f"ATE {ate:.4f} (scene radius 8.0) | stage times {report['times_s']}"
+    )
+
+    print(json.dumps({
+        "metric": "sparse_sfm_frames_per_s",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 3),
+        "detail": {
+            "n_views": n_views, "img": f"{img_h}x{img_w}",
+            "registered": int(reg.sum()), "points": int(report["n_points"]),
+            "ate": None if np.isnan(ate) else round(ate, 4),
+            "stage_times_s": report["times_s"],
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,10 @@ class BAConfig:
     lambda_min: float = 1e-10
     lambda_max: float = 1e8
     fix_first_cam: bool = True     # gauge (BundleAdjuster.h:105)
+    axis_name: str | None = None   # mesh axis the observation table is
+                                   # sharded over (distributed BA: partial
+                                   # segment-sums are psum-reduced, SURVEY.md
+                                   # §2.3 item 4); None = single device
 
     @property
     def cam_dim(self) -> int:
@@ -109,6 +113,10 @@ def robust_cost(r: jnp.ndarray, mask: jnp.ndarray, delta: float) -> jnp.ndarray:
 # Schur-complement building blocks (all segment-sums over the obs table)
 # ---------------------------------------------------------------------------
 
+def _maybe_psum(x, axis_name):
+    return jax.lax.psum(x, axis_name) if axis_name else x
+
+
 def _build_system(cam_params, points, intr_static, obs_cam, obs_pt, obs_uv,
                   obs_w, cfg: BAConfig):
     """Assemble the per-observation weighted Jacobian blocks and the
@@ -124,35 +132,37 @@ def _build_system(cam_params, points, intr_static, obs_cam, obs_pt, obs_uv,
     C = cam_params.shape[0]
     P = points.shape[0]
     # Per-camera DxD and per-point 3x3 diagonal blocks.
-    Hcc = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jc, Jc), obs_cam, C)
-    Hpp = jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jp, Jp), obs_pt, P)
-    gc = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jc, r), obs_cam, C)
-    gp = jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jp, r), obs_pt, P)
+    ax = cfg.axis_name
+    Hcc = _maybe_psum(jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jc, Jc), obs_cam, C), ax)
+    Hpp = _maybe_psum(jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jp, Jp), obs_pt, P), ax)
+    gc = _maybe_psum(jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jc, r), obs_cam, C), ax)
+    gp = _maybe_psum(jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jp, r), obs_pt, P), ax)
     # Per-observation coupling block W_o = Jc^T Jp (D, 3).
     Wo = jnp.einsum("oki,okj->oij", Jc, Jp)
     return r, Jc, Jp, Wo, Hcc, Hpp, gc, gp
 
 
-def _schur_matvec(v, Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, P):
+def _schur_matvec(v, Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, P, axis_name=None):
     """Matrix-free S @ v for the reduced camera system
-    S = Hcc - W Hpp^{-1} W^T, with v (C, D)."""
+    S = Hcc - W Hpp^{-1} W^T, with v (C, D).  With a sharded observation
+    table, both segment-sums reduce over the mesh axis."""
     # y_p = sum_{o in p} W_o^T v_{cam(o)}
     Wv = jnp.einsum("oij,oi->oj", Wo, v[obs_cam])  # (O, 3)
-    y = jax.ops.segment_sum(Wv, obs_pt, P)  # (P, 3)
+    y = _maybe_psum(jax.ops.segment_sum(Wv, obs_pt, P), axis_name)  # (P, 3)
     z = jnp.einsum("pij,pj->pi", Hpp_inv, y)  # (P, 3)
     back = jnp.einsum("oij,oj->oi", Wo, z[obs_pt])  # (O, D)
-    WHWv = jax.ops.segment_sum(back, obs_cam, C)  # (C, D)
+    WHWv = _maybe_psum(jax.ops.segment_sum(back, obs_cam, C), axis_name)  # (C, D)
     Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
     return Hv - WHWv
 
 
-def _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C):
+def _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, axis_name=None):
     """Exact diagonal blocks of S for the block-Jacobi preconditioner
     (the TPU analog of Ceres' SCHUR_JACOBI)."""
     contrib = jnp.einsum(
         "oij,ojk,olk->oil", Wo, Hpp_inv[obs_pt], Wo
     )  # (O, D, D)
-    S_diag = Hcc_d - jax.ops.segment_sum(contrib, obs_cam, C)
+    S_diag = Hcc_d - _maybe_psum(jax.ops.segment_sum(contrib, obs_cam, C), axis_name)
     return S_diag
 
 
@@ -261,7 +271,7 @@ def bundle_adjust(
         r = jax.vmap(lambda c, x, i, u: _residual_one(c, x, i, u, cfg.refine_intrinsics))(
             cpo, Xo, io, obs_uv
         )
-        return robust_cost(r, obs_w, cfg.huber_delta)
+        return _maybe_psum(robust_cost(r, obs_w, cfg.huber_delta), cfg.axis_name)
 
     intr_static = intr
 
@@ -281,20 +291,21 @@ def bundle_adjust(
         # Reduced system: S dc = -gc + W Hpp^-1 gp
         z = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
         back = jnp.einsum("oij,oj->oi", Wo, z[obs_pt])
-        rhs = -gc + jax.ops.segment_sum(back, obs_cam, C)
+        rhs = -gc + _maybe_psum(jax.ops.segment_sum(back, obs_cam, C), cfg.axis_name)
         rhs = rhs * upd_mask
 
-        S_diag = _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C)
+        S_diag = _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, cfg.axis_name)
         M_inv = _invD(S_diag)
 
         def mv(v):
-            return _schur_matvec(v * upd_mask, Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, P) * upd_mask
+            return _schur_matvec(v * upd_mask, Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, P,
+                                 cfg.axis_name) * upd_mask
 
         dc = _pcg(mv, rhs, M_inv, cfg.cg_iters, cfg.cg_tol) * upd_mask
         # Back-substitute points: dp = -Hpp^-1 (gp + W^T dc)
-        Wtdc = jax.ops.segment_sum(
+        Wtdc = _maybe_psum(jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", Wo, dc[obs_cam]), obs_pt, P
-        )
+        ), cfg.axis_name)
         dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtdc) * pt_upd
 
         cp_new = cp + dc
@@ -324,7 +335,7 @@ def bundle_adjust(
         "initial_cost": init_cost,
         "final_cost": final_cost,
         "lambda": lam,
-        "n_obs": jnp.sum(obs_mask),
+        "n_obs": _maybe_psum(jnp.sum(obs_mask), cfg.axis_name),
     }
     return intr_out, rot_out, t_out, pts, info
 

@@ -1,0 +1,309 @@
+"""Dense multi-view stereo: plane-sweep depth maps + consistency filtering
++ fused colored point cloud.
+
+Capability parity with the reference's out-of-process dense stage —
+``DensifyPointCloud`` (OpenMVS PatchMatch MVS spawned at src/main.cpp:161)
+fed by the ``DenseBuilder`` scene exporter (src/denseBuilder/DenseBuilder.h:
+54-146).  The TPU-native formulation (SURVEY.md §7 layer 8, hard part 6):
+PatchMatch's sequential propagation is replaced by a *plane sweep* — a
+regular, fully vectorizable cost volume over inverse-depth planes:
+
+  - per reference view, K nearest source views are warped through
+    fronto-parallel plane homographies (one gather per source x plane),
+  - photometric cost is zero-mean NCC, computed as a box-filtered product
+    of locally normalized images (one conv per source x plane),
+  - per-pixel costs aggregate over the best-2 sources (occlusion robust),
+  - argmin over planes + parabolic sub-plane refinement gives the depth,
+  - cross-view geometric consistency (>= min_consistent views) filters the
+    maps before fusion into a colored cloud.
+
+Everything is jit over fixed shapes; reference views shard over the device
+mesh by view cluster (tpusfm.parallel.dist_dense).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lie
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseConfig:
+    n_planes: int = 64
+    n_sources: int = 4          # source views per reference view
+    window: int = 5             # NCC window
+    best_k: int = 2             # best-k source aggregation
+    min_consistent: int = 2     # cross-view consistency votes
+    rel_depth_tol: float = 0.02
+    cost_thresh: float = 0.6    # max accepted (1 - NCC) cost
+    depth_margin: float = 0.25  # widen the sparse depth range by this factor
+    subsample: int = 1          # pixel stride for fusion
+
+
+def _box_mean(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Box filter over trailing 2 dims via reduce_window (SAME)."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1,) * (x.ndim - 2) + (w, w), (1,) * x.ndim, "SAME"
+    )
+    return s / (w * w)
+
+
+def local_normalize(img: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Zero-mean, unit-variance per window: NCC becomes a box-filtered dot
+    product of normalized images."""
+    m = _box_mean(img, w)
+    v = _box_mean(img * img, w) - m * m
+    return (img - m) / jnp.sqrt(jnp.maximum(v, 1e-6))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def plane_sweep_depth(
+    ref_img: jnp.ndarray,      # (H, W) float32, locally pre-normalized
+    src_imgs: jnp.ndarray,     # (S, H, W) float32, locally pre-normalized
+    K: jnp.ndarray,            # (3, 3) shared intrinsics (pinhole)
+    R_rel: jnp.ndarray,        # (S, 3, 3) ref-cam -> src-cam rotation
+    t_rel: jnp.ndarray,        # (S, 3)
+    inv_depths: jnp.ndarray,   # (D,) inverse depth planes (in ref frame)
+    cfg: DenseConfig = DenseConfig(),
+):
+    """Returns (depth (H, W), cost (H, W)): per-pixel depth of the best
+    plane (parabolic sub-plane refined) and its aggregated matching cost."""
+    H, W = ref_img.shape
+    Kinv = jnp.linalg.inv(K)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
+    )
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=0).reshape(3, -1)  # (3, HW)
+    rays = Kinv @ pix  # (3, HW)
+    w = cfg.window
+
+    def cost_at_plane(inv_d):
+        # Homography transfer: x_src ~ K (R_rel + t_rel * inv_d * n^T) Kinv x
+        # with n = [0,0,1] in the reference frame.
+        p = jnp.einsum("sij,jn->sin", R_rel, rays) + t_rel[..., None] * inv_d  # (S,3,HW)
+        uv = jnp.einsum("ij,sjn->sin", K, p)
+        z = uv[:, 2]
+        u = uv[:, 0] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        v = uv[:, 1] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 0)
+
+        def sample(img, vv, uu):
+            v0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, H - 2)
+            u0 = jnp.clip(jnp.floor(uu).astype(jnp.int32), 0, W - 2)
+            fv = jnp.clip(vv - v0, 0.0, 1.0)
+            fu = jnp.clip(uu - u0, 0.0, 1.0)
+            a = img[v0, u0]
+            b = img[v0, u0 + 1]
+            c = img[v0 + 1, u0]
+            d = img[v0 + 1, u0 + 1]
+            return a * (1 - fv) * (1 - fu) + b * (1 - fv) * fu + c * fv * (1 - fu) + d * fv * fu
+
+        warped = jax.vmap(sample)(src_imgs, v, u)  # (S, HW)
+        warped = warped.reshape(-1, H, W)
+        inb = inb.reshape(-1, H, W)
+        # NCC via box-filtered product of pre-normalized images: in [-1, 1].
+        ncc = _box_mean(warped * ref_img[None], w)
+        cost_s = jnp.where(inb, 1.0 - ncc, 2.0)  # (S, H, W), 2.0 = invalid
+        # Best-k aggregation over sources.
+        k = min(cfg.best_k, cost_s.shape[0])
+        neg_topk, _ = jax.lax.top_k(-jnp.moveaxis(cost_s, 0, -1), k)
+        return -jnp.mean(neg_topk, axis=-1)  # (H, W)
+
+    costs = jax.lax.map(cost_at_plane, inv_depths)  # (D, H, W)
+    best = jnp.argmin(costs, axis=0)  # (H, W)
+    best_cost = jnp.min(costs, axis=0)
+    # Parabolic refinement over inverse depth.
+    D = inv_depths.shape[0]
+    bm = jnp.clip(best, 1, D - 2)
+    c0 = jnp.take_along_axis(costs, (bm - 1)[None], axis=0)[0]
+    c1 = jnp.take_along_axis(costs, bm[None], axis=0)[0]
+    c2 = jnp.take_along_axis(costs, (bm + 1)[None], axis=0)[0]
+    denom = c0 - 2 * c1 + c2
+    delta = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (c0 - c2) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    step = inv_depths[1] - inv_depths[0]
+    inv_d = inv_depths[bm] + delta * step
+    depth = 1.0 / jnp.maximum(inv_d, 1e-9)
+    return depth, best_cost
+
+
+def select_source_views(scene, ref: int, n: int) -> list[int]:
+    """Nearest registered views by camera-center distance with a nonzero
+    baseline (the reference delegates neighbor selection to OpenMVS)."""
+    reg = np.nonzero(np.asarray(scene.cam_mask))[0]
+    centers = np.asarray(scene.camera_centers())
+    d = np.linalg.norm(centers[reg] - centers[ref], axis=1)
+    order = [int(reg[i]) for i in np.argsort(d) if reg[i] != ref and d[i] > 1e-6]
+    return order[:n]
+
+
+def depth_range_from_sparse(scene, view: int, margin: float):
+    """Depth search range for a view from its sparse observations."""
+    mask = np.asarray(scene.obs_mask) & (np.asarray(scene.obs_cam) == view)
+    pts = np.asarray(scene.points)[np.asarray(scene.obs_pt)[mask]]
+    R = np.asarray(lie.so3_exp(scene.cam_rot[view]))
+    t = np.asarray(scene.cam_t[view])
+    z = pts @ R[2] + t[2]
+    z = z[z > 1e-3]
+    if len(z) < 5:
+        return None
+    lo, hi = np.percentile(z, [2, 98])
+    span = hi - lo
+    return max(lo - margin * span, 0.05 * lo), hi + margin * span
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def consistency_filter(
+    depths: jnp.ndarray,   # (V, H, W) depth maps (0 where invalid)
+    costs: jnp.ndarray,    # (V, H, W)
+    K: jnp.ndarray,
+    R: jnp.ndarray,        # (V, 3, 3) world->cam
+    t: jnp.ndarray,        # (V, 3)
+    neighbors: jnp.ndarray,  # (V, S) neighbor view indices
+    cfg: DenseConfig = DenseConfig(),
+):
+    """Geometric cross-view consistency: a pixel survives if >=
+    min_consistent neighbor maps agree on its 3D location."""
+    V, H, W = depths.shape
+    Kinv = jnp.linalg.inv(K)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
+    )
+    pix = jnp.stack([xs, ys, jnp.ones_like(xs)], 0).reshape(3, -1)
+    rays = Kinv @ pix  # (3, HW)
+
+    def per_view(v):
+        d = depths[v].reshape(-1)
+        Xc = rays * d[None]
+        Xw = jnp.einsum("ji,jn->in", R[v], Xc - t[v][:, None])  # cam -> world
+
+        def check(nv):
+            Xn = jnp.einsum("ij,jn->in", R[nv], Xw) + t[nv][:, None]
+            zn = Xn[2]
+            uvn = K @ Xn
+            un = uvn[0] / jnp.where(jnp.abs(uvn[2]) < 1e-6, 1e-6, uvn[2])
+            vn = uvn[1] / jnp.where(jnp.abs(uvn[2]) < 1e-6, 1e-6, uvn[2])
+            inb = (un >= 0) & (un <= W - 1) & (vn >= 0) & (vn <= H - 1) & (zn > 0)
+            ui = jnp.clip(jnp.round(un).astype(jnp.int32), 0, W - 1)
+            vi = jnp.clip(jnp.round(vn).astype(jnp.int32), 0, H - 1)
+            dn = depths[nv][vi, ui]
+            ok = inb & (dn > 0) & (jnp.abs(dn - zn) < cfg.rel_depth_tol * zn)
+            return ok
+
+        votes = jnp.sum(jax.vmap(check)(neighbors[v]).astype(jnp.int32), axis=0)
+        valid = (
+            (votes >= cfg.min_consistent)
+            & (d > 0)
+            & (costs[v].reshape(-1) < cfg.cost_thresh)
+        )
+        return valid.reshape(H, W)
+
+    return jax.vmap(per_view)(jnp.arange(V))
+
+
+def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(),
+                      progress=None, views: list[int] | None = None,
+                      return_maps: bool = False):
+    """Full dense stage over all registered views -> (points (N, 3) float32,
+    colors (N, 3) uint8)[, maps dict when return_maps]."""
+    progress = progress or (lambda *a, **k: None)
+    images = np.asarray(images, np.float32)
+    V, H, W = images.shape
+    reg = np.nonzero(np.asarray(scene.cam_mask))[0]
+    views = [v for v in (views if views is not None else reg) if scene.cam_mask[v]]
+    intr = np.asarray(scene.intr)
+    K = np.array(
+        [[intr[views[0], 0], 0, intr[views[0], 2]],
+         [0, intr[views[0], 1], intr[views[0], 3]],
+         [0, 0, 1]], np.float32,
+    )
+    R_all = np.asarray(lie.so3_exp(scene.cam_rot))
+    t_all = np.asarray(scene.cam_t)
+
+    norm_images = np.asarray(
+        jax.jit(jax.vmap(partial(local_normalize, w=cfg.window)))(jnp.asarray(images))
+    )
+
+    depths = np.zeros((V, H, W), np.float32)
+    costs = np.full((V, H, W), 2.0, np.float32)
+    computed = []
+    for i, v in enumerate(views):
+        srcs = select_source_views(scene, v, cfg.n_sources)
+        if len(srcs) < 2:
+            continue
+        while len(srcs) < cfg.n_sources:
+            srcs.append(srcs[-1])
+        rng = depth_range_from_sparse(scene, v, cfg.depth_margin)
+        if rng is None:
+            continue
+        lo, hi = rng
+        inv_depths = jnp.linspace(1.0 / hi, 1.0 / lo, cfg.n_planes, dtype=jnp.float32)
+        # Relative poses ref -> src: x_s = R_s x_w + t_s with
+        # x_w = R_v^T (x_v - t_v)  =>  R_rel = R_s R_v^T,
+        # t_rel = t_s - R_rel t_v.
+        R_rel = np.einsum("sij,kj->sik", R_all[srcs], R_all[v])
+        t_rel = t_all[srcs] - np.einsum("sij,j->si", R_rel, t_all[v])
+        d, c = plane_sweep_depth(
+            jnp.asarray(norm_images[v]), jnp.asarray(norm_images[srcs]),
+            jnp.asarray(K), jnp.asarray(R_rel.astype(np.float32)),
+            jnp.asarray(t_rel.astype(np.float32)), inv_depths, cfg,
+        )
+        depths[v] = np.asarray(d)
+        costs[v] = np.asarray(c)
+        computed.append(v)
+        progress("dense", (i + 1) / max(len(views), 1) * 0.8)
+
+    # Consistency neighbors must themselves have computed depth maps.
+    centers = np.asarray(scene.camera_centers())
+    n_nb = max(1, min(cfg.n_sources, len(computed) - 1))
+    neighbors = np.zeros((V, n_nb), np.int32)
+    for v in computed:
+        others = [c_ for c_ in computed if c_ != v]
+        order = np.argsort(np.linalg.norm(centers[others] - centers[v], axis=1))
+        nb = [others[o] for o in order[:n_nb]]
+        while len(nb) < n_nb:
+            nb.append(nb[-1] if nb else v)
+        neighbors[v] = nb
+
+    valid = np.asarray(consistency_filter(
+        jnp.asarray(depths), jnp.asarray(costs), jnp.asarray(K),
+        jnp.asarray(R_all.astype(np.float32)), jnp.asarray(t_all.astype(np.float32)),
+        jnp.asarray(neighbors), cfg,
+    ))
+    progress("dense", 0.9)
+
+    # Fusion: backproject surviving pixels.
+    pts_out, col_out = [], []
+    Kinv = np.linalg.inv(K)
+    ss = cfg.subsample
+    for v in computed:
+        m = valid[v][::ss, ::ss]
+        if not m.any():
+            continue
+        ys, xs = np.nonzero(m)
+        ys = ys * ss
+        xs = xs * ss
+        d = depths[v][ys, xs]
+        pix = np.stack([xs, ys, np.ones_like(xs)], 0).astype(np.float64)
+        Xc = Kinv @ pix * d[None]
+        Xw = R_all[v].T @ (Xc - t_all[v][:, None])
+        pts_out.append(Xw.T.astype(np.float32))
+        if rgb_images is not None:
+            col_out.append(np.asarray(rgb_images)[v, ys, xs])
+    if not pts_out:
+        pts = np.zeros((0, 3), np.float32)
+        cols = np.zeros((0, 3), np.uint8)
+    else:
+        pts = np.concatenate(pts_out)
+        cols = np.concatenate(col_out) if col_out else np.full((len(pts), 3), 200, np.uint8)
+    if return_maps:
+        maps = dict(depths=depths, valid=valid, K=K, R=R_all, t=t_all,
+                    computed=np.asarray(computed, np.int32))
+        return pts, cols, maps
+    return pts, cols

@@ -1,0 +1,86 @@
+"""Distributed bundle adjustment over a device mesh.
+
+SURVEY.md §2.3 item 4: the observation table is partitioned across devices;
+each device assembles partial normal-equation blocks for its observation
+shard, psum reduces the camera system and the point blocks over ICI, and
+the (small, replicated) preconditioned-CG camera solve proceeds identically
+on every device.  Point elimination stays embarrassingly parallel.
+
+This reuses tpusfm.ba.bundle_adjust verbatim — the solver was written
+against segment-sum + psum hooks (BAConfig.axis_name), so the distributed
+variant is a shard_map around the very same LM loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ba import bundle_adjust as ba
+
+
+def bundle_adjust_sharded(
+    mesh: Mesh,
+    intr, cam_rot, cam_t, cam_mask,
+    points, point_mask,
+    obs_cam, obs_pt, obs_uv, obs_mask,
+    cfg: ba.BAConfig = ba.BAConfig(),
+    cam_free_mask=None,
+    axis: str = "shard",
+):
+    """Same contract as ba.bundle_adjust; the observation arrays are sharded
+    over `axis` (their length must divide the mesh axis size — pad with
+    parallel.mesh.pad_to_multiple, padded rows masked out)."""
+    cfg = dataclasses.replace(cfg, axis_name=axis)
+    n_dev = mesh.shape[axis]
+    assert obs_cam.shape[0] % n_dev == 0, (
+        f"obs table length {obs_cam.shape[0]} must be divisible by mesh axis {n_dev}"
+    )
+
+    free = cam_mask if cam_free_mask is None else cam_free_mask
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),       # cameras replicated
+            P(), P(),                 # points replicated
+            P(axis), P(axis), P(axis), P(axis),  # observations sharded
+            P(),
+        ),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+    def _run(intr, rot, t, cmask, pts, pmask, ocam, opt, ouv, omask, freem):
+        intr2, rot2, t2, pts2, info = ba.bundle_adjust(
+            intr, rot, t, cmask, pts, pmask, ocam, opt, ouv, omask,
+            cfg=cfg, cam_free_mask=freem,
+        )
+        return intr2, rot2, t2, pts2, info
+
+    return jax.jit(_run)(
+        intr, cam_rot, cam_t, cam_mask, points, point_mask,
+        obs_cam, obs_pt, obs_uv, obs_mask, free,
+    )
+
+
+def shard_obs_table(obs_cam, obs_pt, obs_uv, obs_mask, n_dev: int):
+    """Pad the observation table so its length divides n_dev; padded rows are
+    masked out (they reference camera 0 / point 0 with zero weight)."""
+    O = len(obs_cam)
+    m = ((O + n_dev - 1) // n_dev) * n_dev
+    pad = m - O
+    if pad:
+        obs_cam = np.concatenate([np.asarray(obs_cam), np.zeros(pad, np.int32)])
+        obs_pt = np.concatenate([np.asarray(obs_pt), np.zeros(pad, np.int32)])
+        obs_uv = np.concatenate([np.asarray(obs_uv), np.zeros((pad, 2), np.float32)])
+        obs_mask = np.concatenate([np.asarray(obs_mask), np.zeros(pad, bool)])
+    return (
+        jnp.asarray(obs_cam), jnp.asarray(obs_pt),
+        jnp.asarray(obs_uv), jnp.asarray(obs_mask),
+    )

@@ -1,0 +1,71 @@
+"""Pipeline configuration.
+
+The reference has NO config system — every knob is a hard-coded local at
+the top of each stage method (SURVEY.md §5 'Config / flag system', e.g.
+describer preset sparseBuilder.cpp:579, ratio .cpp:812, geometric model
+.cpp:1037, engine .cpp:1289).  Here the exact same knobs are real,
+serializable dataclass fields with the reference's values as defaults."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Literal
+
+from ..ba.bundle_adjust import BAConfig
+from ..features.sift import SiftConfig
+from ..sfm.incremental import IncrementalConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchingConfig:
+    pair_mode: Literal["exhaustive", "contiguous"] = "exhaustive"  # .cpp:786
+    contiguous_window: int = 5
+    ratio: float = 0.8                 # NN dist ratio (.cpp:812)
+    cross_check: bool = True
+    pair_chunk: int = 32               # device batch of pairs per dispatch
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometricFilterConfig:
+    model: Literal["f", "e", "h", "none"] = "f"  # default 'f' (.cpp:1037)
+    thresh_px: float = 4.0             # AC-RANSAC precision (.cpp:1039)
+    max_iterations: int = 256          # reference runs up to 2048 (.cpp:1040)
+    min_matches: int = 50              # pair prune (.cpp:1204)
+    min_inlier_ratio: float = 0.3      # E-variant prune (.cpp:1196-1212)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    sift: SiftConfig = dataclasses.field(default_factory=SiftConfig)
+    matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
+    filter: GeometricFilterConfig = dataclasses.field(default_factory=GeometricFilterConfig)
+    engine: IncrementalConfig = dataclasses.field(default_factory=IncrementalConfig)
+    focal_prior_px: float | None = None  # like the hard-coded 2905.88 (main.cpp:124)
+    feature_batch: int = 8             # views per SIFT device dispatch
+
+    def to_json(self) -> str:
+        def enc(o):
+            if dataclasses.is_dataclass(o):
+                return {f.name: enc(getattr(o, f.name)) for f in dataclasses.fields(o)}
+            return o
+
+        return json.dumps(enc(self), indent=2, default=str)
+
+
+def config_from_overrides(**kw) -> PipelineConfig:
+    """Build a PipelineConfig with dotted overrides, e.g.
+    config_from_overrides(**{'matching.ratio': 0.7, 'filter.model': 'e'})."""
+    cfg = PipelineConfig()
+    groups: dict[str, dict] = {}
+    top: dict = {}
+    for k, v in kw.items():
+        if "." in k:
+            g, f = k.split(".", 1)
+            groups.setdefault(g, {})[f] = v
+        else:
+            top[k] = v
+    for g, fields in groups.items():
+        sub = dataclasses.replace(getattr(cfg, g), **fields)
+        top[g] = sub
+    return dataclasses.replace(cfg, **top)

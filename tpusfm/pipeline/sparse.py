@@ -1,0 +1,228 @@
+"""The staged sparse-reconstruction pipeline.
+
+Stage-for-stage parity with the reference's sparseBuilder
+(src/sparseBuilder/sparseBuilder.cpp; call stacks in SURVEY.md §3):
+
+  detect_features   ~ detectFeature (.cpp:575)  — batched SIFT on device
+  generate_pairs    ~ matchPair     (.cpp:758)  — exhaustive / contiguous
+  match_pairs       ~ match         (.cpp:809)  — ratio-test matching, device
+  filter_pairs      ~ filter        (.cpp:1025) — robust F/E/H RANSAC, device
+  reconstruct       ~ reconstruction(.cpp:1283) — incremental engine + BA
+  colorize          ~ colorize      (.cpp:1601) — mean track color
+
+Where the reference stages communicate through files per stage, these are
+functions over arrays; pipeline.artifacts adds the same file-staging
+contract (resume) on top."""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import epipolar, homography
+from ..features import sift
+from ..matching import match as match_mod
+from ..matching import pairs as pairs_mod
+from ..sfm import incremental, ransac as ransac_mod, tracks as tracks_mod
+from ..ops.image import to_grayscale
+from .config import PipelineConfig
+
+
+def _noop_progress(type, progress, **kw):
+    del type, progress, kw
+
+
+def detect_features(images, cfg: PipelineConfig, progress=_noop_progress) -> sift.Features:
+    """Batched SIFT over all views, chunked to bound device memory."""
+    images = np.asarray(images)
+    V = images.shape[0]
+    out = []
+    bs = cfg.feature_batch
+    for i in range(0, V, bs):
+        chunk = jnp.asarray(images[i : i + bs])
+        out.append(jax.device_get(sift.detect_and_describe(chunk, cfg.sift)))
+        progress("features", min(1.0, (i + bs) / V))
+    return sift.Features(
+        kp=jnp.concatenate([jnp.asarray(o.kp) for o in out]),
+        desc=jnp.concatenate([jnp.asarray(o.desc) for o in out]),
+        score=jnp.concatenate([jnp.asarray(o.score) for o in out]),
+        mask=jnp.concatenate([jnp.asarray(o.mask) for o in out]),
+    )
+
+
+def generate_pairs(n_views: int, cfg: PipelineConfig) -> np.ndarray:
+    if cfg.matching.pair_mode == "contiguous":
+        return pairs_mod.contiguous_pairs(n_views, cfg.matching.contiguous_window)
+    return pairs_mod.exhaustive_pairs(n_views)
+
+
+@partial(jax.jit, static_argnames=("ratio", "cross_check"))
+def _match_chunk(da, db, ma, mb, ratio, cross_check):
+    return match_mod.match_descriptors(da, db, ma, mb, ratio=ratio, cross_check=cross_check)
+
+
+def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig,
+                progress=_noop_progress):
+    """Ratio-test matching for every pair, chunked over the pair list.
+    Returns (match_idx (P, N) int32, match_valid (P, N) bool)."""
+    P = len(pair_list)
+    N = feats.kp.shape[1]
+    idx_out = np.zeros((P, N), np.int32)
+    valid_out = np.zeros((P, N), bool)
+    ch = cfg.matching.pair_chunk
+    desc = feats.desc
+    mask = feats.mask
+    for s in range(0, P, ch):
+        pl = pair_list[s : s + ch]
+        # Pad the chunk to full size so one compiled shape serves all chunks.
+        pl_pad = np.concatenate([pl, np.repeat(pl[:1], ch - len(pl), 0)]) if len(pl) < ch else pl
+        ia = jnp.asarray(pl_pad[:, 0])
+        ib = jnp.asarray(pl_pad[:, 1])
+        idx, ok = _match_chunk(
+            desc[ia], desc[ib], mask[ia], mask[ib],
+            cfg.matching.ratio, cfg.matching.cross_check,
+        )
+        idx_out[s : s + len(pl)] = np.asarray(idx)[: len(pl)]
+        valid_out[s : s + len(pl)] = np.asarray(ok)[: len(pl)]
+        progress("matching", min(1.0, (s + ch) / P))
+    return idx_out, valid_out
+
+
+@partial(jax.jit, static_argnames=("model", "n_iters"))
+def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh):
+    """Vmapped robust model fit over a chunk of pairs."""
+    if model == "h":
+        solver, scorer = homography.homography_dlt, homography.homography_transfer_error
+        sample = 4
+    else:  # 'f' (the 'e' pixel-space variant uses F too; E-specific pruning
+        # happens via the inlier ratio below, parity .cpp:1196-1212)
+        solver, scorer = epipolar.fundamental_8pt, epipolar.sampson_error
+        sample = 8
+
+    def one(key, a, b, v):
+        return ransac_mod.ransac(
+            key, a, b, v, solver=solver, scorer=scorer,
+            sample_size=sample, n_iters=n_iters, inlier_thresh=thresh,
+        )
+
+    model_out, inl, n_inl = jax.vmap(one)(keys, x0, x1, valid)
+    return inl, n_inl
+
+
+def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
+                 cfg: PipelineConfig, key=None, progress=_noop_progress):
+    """Geometric verification per pair (parity: filter(), .cpp:1025-1281).
+    Prunes matches to RANSAC inliers; drops pairs with < min_matches or
+    < min_inlier_ratio support."""
+    if cfg.filter.model == "none":
+        return match_idx, match_valid, np.ones(len(pair_list), bool)
+    key = jax.random.PRNGKey(0) if key is None else key
+    P = len(pair_list)
+    N = feats.kp.shape[1]
+    ch = cfg.matching.pair_chunk
+    kp = feats.kp
+    out_valid = np.zeros_like(match_valid)
+    pair_ok = np.zeros(P, bool)
+    for s in range(0, P, ch):
+        pl = pair_list[s : s + ch]
+        n = len(pl)
+        pl_pad = np.concatenate([pl, np.repeat(pl[:1], ch - n, 0)]) if n < ch else pl
+        mi = match_idx[s : s + ch]
+        mv = match_valid[s : s + ch]
+        if n < ch:
+            mi = np.concatenate([mi, np.repeat(mi[:1], ch - n, 0)])
+            mv = np.concatenate([mv, np.zeros((ch - n, N), bool)])
+        ia = jnp.asarray(pl_pad[:, 0])
+        ib = jnp.asarray(pl_pad[:, 1])
+        x0, x1, _ = match_mod.gather_matched_points(
+            kp[ia], kp[ib], jnp.asarray(mi), jnp.asarray(mv)
+        )
+        key, k = jax.random.split(key)
+        keys = jax.random.split(k, ch)
+        inl, n_inl = _filter_chunk(
+            keys, x0, x1, jnp.asarray(mv), cfg.filter.model,
+            cfg.filter.max_iterations, cfg.filter.thresh_px,
+        )
+        out_valid[s : s + n] = np.asarray(inl)[:n] & mv[:n]
+        progress("filtering", min(1.0, (s + ch) / P))
+    n_put = match_valid.sum(axis=1)
+    n_geo = out_valid.sum(axis=1)
+    ratio = n_geo / np.maximum(n_put, 1)
+    pair_ok = (n_geo >= cfg.filter.min_matches) & (ratio >= cfg.filter.min_inlier_ratio)
+    out_valid[~pair_ok] = False
+    return match_idx, out_valid, pair_ok
+
+
+def reconstruct(feats: sift.Features, intr, pair_list, match_idx, match_valid,
+                cfg: PipelineConfig, key=None, progress=_noop_progress):
+    """Tracks + incremental engine (parity: reconstruction(), .cpp:1283)."""
+    V, N = np.asarray(feats.mask).shape
+    track_ids, n_tracks = tracks_mod.build_tracks(V, N, pair_list, match_idx, match_valid)
+    engine = incremental.IncrementalEngine(
+        np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
+        cfg.engine, progress=progress,
+    )
+    scene = engine.run(key)
+    return scene, engine
+
+
+def run_sparse(images, intr, cfg: PipelineConfig = PipelineConfig(), key=None,
+               progress=_noop_progress):
+    """Full sparse pipeline: images -> colorized sparse scene.
+
+    images: (V, H, W[, 3]); intr: (7,) shared or (V, 7).
+    Returns (scene, report dict)."""
+    t0 = time.time()
+    images = np.asarray(images)
+    intr = np.asarray(intr, np.float32)
+    if intr.ndim == 1:
+        intr = np.tile(intr, (images.shape[0], 1))
+    key = jax.random.PRNGKey(0) if key is None else key
+    times = {}
+
+    progress("preprocessing", 0.0)
+    feats = detect_features(images, cfg, progress)
+    times["features"] = time.time() - t0
+    progress("preprocessing", 1.0)
+
+    t1 = time.time()
+    pair_list = generate_pairs(images.shape[0], cfg)
+    match_idx, match_valid = match_pairs(feats, pair_list, cfg, progress)
+    times["matching"] = time.time() - t1
+
+    t2 = time.time()
+    match_idx, match_valid, pair_ok = filter_pairs(
+        feats, pair_list, match_idx, match_valid, cfg, key, progress
+    )
+    times["filtering"] = time.time() - t2
+
+    t3 = time.time()
+    key, k = jax.random.split(key)
+    scene, engine = reconstruct(
+        feats, intr, pair_list[pair_ok], match_idx[pair_ok], match_valid[pair_ok],
+        cfg, k, progress,
+    )
+    times["reconstruction"] = time.time() - t3
+
+    gray = np.asarray(images)
+    if gray.ndim == 3:
+        rgb = np.repeat((np.clip(gray, 0, 1) * 255).astype(np.uint8)[..., None], 3, -1)
+    else:
+        rgb = np.asarray(images).astype(np.uint8)
+    scene = engine.colorize(scene, rgb)
+    times["total"] = time.time() - t0
+    report = {
+        "n_views": int(images.shape[0]),
+        "n_registered": int(np.asarray(scene.cam_mask).sum()),
+        "n_points": int(np.asarray(scene.point_mask).sum()),
+        "n_obs": int(np.asarray(scene.obs_mask).sum()),
+        "n_pairs_kept": int(pair_ok.sum()),
+        "times_s": {k_: round(v, 3) for k_, v in times.items()},
+        "engine_log": engine.log,
+    }
+    progress("done", 1.0, **{"n_points": report["n_points"]})
+    return scene, report

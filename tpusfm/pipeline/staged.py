@@ -1,0 +1,229 @@
+"""File-staged, resumable pipeline workspace.
+
+Parity with the reference's artifact contract (SURVEY.md §5 'Checkpoint /
+resume'): every stage persists its output and later stages reload it, so
+re-running a stage resumes from the last artifact.  Reference staging:
+sfm_data.json -> .feat/.desc -> matches.putative.bin -> matches.f.bin ->
+sfm_data.bin + cloud_and_poses.ply -> colorized.ply (sparseBuilder.h:25-29).
+Here the equivalents are array-native npz files plus the same PLY outputs:
+
+  workspace/
+    images/                  uploaded/source images
+    views.json               image records + focal priors (~ sfm_data.json)
+    config.json              pipeline config dump
+    features.npz             (~ .feat/.desc)
+    matches_putative.npz     (~ matches.putative.bin)
+    matches_geometric.npz    (~ matches.f.bin)
+    scene.npz                (~ sfm_data.bin)
+    cloud_and_poses.ply      sparse cloud + camera markers
+    colorized.ply            colorized sparse cloud
+    report.json              reconstruction report (~ HTML report)
+    dense.ply / mesh.ply     dense stage outputs
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..features import sift
+from ..io import images as im_io
+from ..io import ply
+from ..sfm import scene as scene_mod
+from ..utils.events import EventBus
+from .config import PipelineConfig
+from . import sparse as sp
+
+
+class StagedPipeline:
+    """Workspace-backed pipeline with stage skip-if-done semantics
+    (the reference's ``!bForce && is_regular_file`` pattern,
+    sparseBuilder.cpp:700)."""
+
+    def __init__(self, workspace: str | Path, cfg: PipelineConfig = PipelineConfig(),
+                 bus: EventBus | None = None, force: bool = False):
+        self.ws = Path(workspace)
+        self.ws.mkdir(parents=True, exist_ok=True)
+        (self.ws / "images").mkdir(exist_ok=True)
+        self.cfg = cfg
+        self.bus = bus or EventBus()
+        self.force = force
+        self.progress = self.bus.progress_fn()
+        (self.ws / "config.json").write_text(cfg.to_json())
+
+    # -- helpers -----------------------------------------------------------
+
+    def _done(self, name: str) -> bool:
+        return not self.force and (self.ws / name).exists()
+
+    def image_dir(self) -> Path:
+        return self.ws / "images"
+
+    # -- stage 1: preprocessing (ingest + features) ------------------------
+
+    def preprocess(self, focal_prior_px: float | None = None):
+        """~ preload(): readImagesCluster + detectFeature (main.cpp:120-129)."""
+        self.progress("preprocessing", 0.0)
+        paths = im_io.list_images(self.image_dir())
+        if not paths:
+            raise FileNotFoundError(f"no images in {self.image_dir()}")
+        records = [
+            im_io.read_image_record(
+                p, focal_prior_px=focal_prior_px or self.cfg.focal_prior_px
+            )
+            for p in paths
+        ]
+        (self.ws / "views.json").write_text(json.dumps(
+            [dataclasses.asdict(r) for r in records], indent=2
+        ))
+        self.progress("preprocessing", 0.5)
+
+        if self._done("features.npz"):
+            self.progress("preprocessing", 1.0)
+            return records
+        images = im_io.load_images_gray(paths)
+        feats = sp.detect_features(images, self.cfg, self.progress)
+        np.savez_compressed(
+            self.ws / "features.npz",
+            kp=np.asarray(feats.kp), desc=np.asarray(feats.desc),
+            score=np.asarray(feats.score), mask=np.asarray(feats.mask),
+        )
+        self.progress("preprocessing", 1.0)
+        return records
+
+    def _load_features(self) -> sift.Features:
+        d = np.load(self.ws / "features.npz")
+        return sift.Features(
+            kp=jnp.asarray(d["kp"]), desc=jnp.asarray(d["desc"]),
+            score=jnp.asarray(d["score"]), mask=jnp.asarray(d["mask"]),
+        )
+
+    def _load_views(self):
+        return json.loads((self.ws / "views.json").read_text())
+
+    def _intrinsics(self) -> np.ndarray:
+        views = self._load_views()
+        intr = []
+        for v in views:
+            intr.append([v["focal_px"], v["focal_px"], v["width"] / 2, v["height"] / 2, 0, 0, 0])
+        return np.asarray(intr, np.float32)
+
+    # -- stage 2: sparse ---------------------------------------------------
+
+    def sparse(self, key=None):
+        """~ sparseWork(): matchPair + match + filter + reconstruction +
+        colorize (main.cpp:131-146)."""
+        t0 = time.time()
+        if not (self.ws / "features.npz").exists():
+            self.preprocess()
+        feats = self._load_features()
+        intr = self._intrinsics()
+        V = intr.shape[0]
+        key = jax.random.PRNGKey(0) if key is None else key
+
+        # matchPair + match (putative)
+        if self._done("matches_putative.npz"):
+            d = np.load(self.ws / "matches_putative.npz")
+            pair_list, mi, mv = d["pairs"], d["idx"], d["valid"]
+        else:
+            pair_list = sp.generate_pairs(V, self.cfg)
+            mi, mv = sp.match_pairs(feats, pair_list, self.cfg, self.progress)
+            np.savez_compressed(self.ws / "matches_putative.npz",
+                                pairs=pair_list, idx=mi, valid=mv)
+        # filter (geometric)
+        if self._done("matches_geometric.npz"):
+            d = np.load(self.ws / "matches_geometric.npz")
+            pair_list, mi, mv, pair_ok = d["pairs"], d["idx"], d["valid"], d["pair_ok"]
+        else:
+            key, k = jax.random.split(key)
+            mi, mv, pair_ok = sp.filter_pairs(feats, pair_list, mi, mv, self.cfg, k, self.progress)
+            np.savez_compressed(self.ws / "matches_geometric.npz",
+                                pairs=pair_list, idx=mi, valid=mv, pair_ok=pair_ok)
+
+        # reconstruction
+        key, k = jax.random.split(key)
+        scene, engine = sp.reconstruct(
+            feats, intr, pair_list[pair_ok], mi[pair_ok], mv[pair_ok],
+            self.cfg, k, self.progress,
+        )
+        # colorize (~ colorize(), sparseBuilder.cpp:1601)
+        paths = im_io.list_images(self.image_dir())
+        rgb = im_io.load_images_rgb(paths)
+        scene = engine.colorize(scene, rgb)
+
+        scene_mod.save_scene_npz(str(self.ws / "scene.npz"), scene)
+        reg = np.asarray(scene.cam_mask)
+        pm = np.asarray(scene.point_mask)
+        centers = np.asarray(scene.camera_centers())[reg]
+        ply.write_ply_points(
+            self.ws / "cloud_and_poses.ply",
+            np.asarray(scene.points)[pm], camera_centers=centers,
+        )
+        ply.write_ply_points(
+            self.ws / "colorized.ply",
+            np.asarray(scene.points)[pm], np.asarray(scene.colors)[pm],
+        )
+        report = {
+            "n_views": int(V),
+            "n_registered": int(reg.sum()),
+            "n_points": int(pm.sum()),
+            "n_obs": int(np.asarray(scene.obs_mask).sum()),
+            "mean_reproj_px": float(
+                np.asarray(scene.reprojection_errors())[np.asarray(scene.obs_mask)].mean()
+            ) if np.asarray(scene.obs_mask).any() else None,
+            "elapsed_s": round(time.time() - t0, 2),
+            "engine_log": engine.log,
+        }
+        (self.ws / "report.json").write_text(json.dumps(report, indent=2))
+        self.progress("done", 1.0, n_points=report["n_points"])
+        return scene, report
+
+    def load_scene(self):
+        return scene_mod.load_scene_npz(str(self.ws / "scene.npz"))
+
+    # -- stage 3/4: dense + mesh -------------------------------------------
+
+    def dense(self):
+        """~ denseWork() (main.cpp:148-166): depth maps + fused cloud."""
+        from ..dense import depth as dense_depth
+
+        scene = self.load_scene()
+        paths = im_io.list_images(self.image_dir())
+        images = im_io.load_images_gray(paths)
+        rgb = im_io.load_images_rgb(paths)
+        pts, cols, maps = dense_depth.dense_reconstruct(
+            scene, images, rgb, progress=self.progress, return_maps=True
+        )
+        ply.write_ply_points(self.ws / "dense.ply", pts, cols)
+        np.savez_compressed(self.ws / "depth_maps.npz", **maps)
+        self.progress("dense", 1.0, n_points=int(len(pts)))
+        return pts, cols
+
+    def mesh(self):
+        """~ meshWork() (main.cpp:168-193): TSDF + marching tetrahedra from
+        the dense stage's depth maps (falls back to the point cloud)."""
+        from ..dense import meshing
+
+        paths = im_io.list_images(self.image_dir())
+        rgb = im_io.load_images_rgb(paths)
+        maps_path = self.ws / "depth_maps.npz"
+        if maps_path.exists():
+            d = np.load(maps_path)
+            verts, faces, vcols = meshing.mesh_from_depths(
+                d["depths"], d["valid"], d["K"], d["R"], d["t"],
+                rgb_images=rgb, progress=self.progress,
+            )
+        else:
+            xyz, pc_rgb = ply.read_ply_points(self.ws / "dense.ply")
+            verts, faces, vcols = meshing.reconstruct_mesh(
+                xyz, pc_rgb, progress=self.progress
+            )
+        ply.write_ply_mesh(self.ws / "mesh.ply", verts, faces, vcols)
+        self.progress("mesh", 1.0, n_faces=int(len(faces)))
+        return verts, faces
