@@ -54,14 +54,33 @@ class IncrementalConfig:
     init_candidates: int = 5
 
 
+
+def _np_pixel_to_normal(intr: np.ndarray, uv: np.ndarray, iters: int = 8) -> np.ndarray:
+    """Host-side pixel -> normalized coords (numpy twin of
+    core.camera.pixel_to_normal).  Small varying-shape math must stay off
+    the device: on a remote-compile backend every new shape costs a full
+    compile round-trip (see round-1 profiling)."""
+    intr = np.asarray(intr, np.float64)
+    f = intr[..., :2]
+    c = intr[..., 2:4]
+    k = intr[..., 4:7]
+    xd = (np.asarray(uv, np.float64) - c) / f
+    xn = xd.copy()
+    if np.any(k != 0):
+        for _ in range(iters):
+            r2 = np.sum(xn * xn, axis=-1, keepdims=True)
+            scale = 1.0 + r2 * (k[..., 0:1] + r2 * (k[..., 1:2] + r2 * k[..., 2:3]))
+            xn = xd / np.maximum(scale, 1e-8)
+    return xn.astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Jitted kernels (fixed shapes, compiled once per run)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_iters",))
-def _init_pair_kernel(key, x0n, x1n, valid, n_iters, thresh):
-    """Essential RANSAC + pose recovery + triangulation for the seed pair.
-    (Bootstrap parity: SequentialActuator::init, .h:85-136.)"""
+def _init_pair_impl(key, x0n, x1n, valid, n_iters, thresh):
+    """Essential RANSAC + pose recovery + triangulation for one candidate
+    seed pair (bootstrap parity: SequentialActuator::init, .h:85-136)."""
     E, inl, n_inl = ransac_mod.ransac(
         key, x0n, x1n, valid,
         solver=epipolar.essential_8pt,
@@ -70,7 +89,23 @@ def _init_pair_kernel(key, x0n, x1n, valid, n_iters, thresh):
     )
     R, t, n_good, front, X = epipolar.recover_pose(E, x0n, x1n, w=inl.astype(x0n.dtype))
     good = inl & front
-    return R, t, X, good, n_inl
+    # Per-point parallax angle of the seed cloud (for host-side scoring).
+    c1 = lie.camera_center(R, t)
+    a0 = X / jnp.maximum(jnp.linalg.norm(X, axis=-1, keepdims=True), 1e-12)
+    a1 = X - c1
+    a1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
+    ang = jnp.degrees(jnp.arccos(jnp.clip(jnp.sum(a0 * a1, -1), -1.0, 1.0)))
+    return R, t, X, good, n_inl, ang
+
+
+_init_pair_kernel = partial(jax.jit, static_argnums=(4,))(_init_pair_impl)
+
+# One dispatch scores every candidate seed pair (keeps per-candidate
+# round-trips off the remote-compile device).
+_init_pairs_batched = jax.jit(
+    jax.vmap(_init_pair_impl, in_axes=(0, 0, 0, 0, None, None)),
+    static_argnums=(4,),
+)
 
 
 @partial(jax.jit, static_argnames=("n_views",))
@@ -205,35 +240,54 @@ class IncrementalEngine:
         cfg = self.cfg
         iu = np.triu_indices(self.V, 1)
         counts = self._pair_counts[iu]
-        order = np.argsort(counts)[::-1][: cfg.init_candidates]
-        best = None
-        for rank, oi in enumerate(order):
+        order = [
+            oi for oi in np.argsort(counts)[::-1][: cfg.init_candidates]
+            if counts[oi] >= cfg.min_init_matches
+        ]
+        if not order:
+            raise RuntimeError("no valid initial pair (scene too degenerate)")
+        # Stack all candidates and score them in ONE device dispatch.
+        cand = []
+        x0s, x1s, valids = [], [], []
+        for oi in order:
             i, j = int(iu[0][oi]), int(iu[1][oi])
-            if counts[oi] < cfg.min_init_matches:
-                continue
             uvi, uvj, tr = self._pair_correspondences(i, j)
             x0, x1, valid = self._pad_pair(uvi, uvj, i, j)
-            f = float(self.intr[i, 0])
-            key, k = jax.random.split(key)
-            R, t, X, good, n_inl = _init_pair_kernel(
-                k, x0, x1, valid, cfg.ransac_iters, cfg.essential_thresh_px / f
-            )
-            good_np = np.asarray(good)[: len(tr)]
+            cand.append((i, j, tr))
+            x0s.append(x0)
+            x1s.append(x1)
+            valids.append(valid)
+        # Fixed candidate capacity: one compile regardless of list length.
+        nc = cfg.init_candidates
+        while len(x0s) < nc:
+            x0s.append(x0s[-1])
+            x1s.append(x1s[-1])
+            valids.append(jnp.zeros_like(valids[-1]))
+        f = float(self.intr[cand[0][0], 0])
+        key, k = jax.random.split(key)
+        keys = jax.random.split(k, nc)
+        R_b, t_b, X_b, good_b, n_inl_b, ang_b = _init_pairs_batched(
+            keys, jnp.stack(x0s), jnp.stack(x1s), jnp.stack(valids),
+            cfg.ransac_iters, cfg.essential_thresh_px / f,
+        )
+        good_b = np.asarray(good_b)
+        ang_b = np.asarray(ang_b)
+        best = None
+        for ci, (i, j, tr) in enumerate(cand):
+            good_np = good_b[ci][: len(tr)]
             n_good = int(good_np.sum())
             if n_good < cfg.min_init_matches:
                 continue
-            # Parallax score: median triangulation angle of the seed cloud.
-            Xn = np.asarray(X)[: len(tr)][good_np]
-            c1 = np.asarray(lie.camera_center(R, t))
-            a0 = Xn / np.maximum(np.linalg.norm(Xn, axis=-1, keepdims=True), 1e-12)
-            a1 = Xn - c1
-            a1 = a1 / np.maximum(np.linalg.norm(a1, axis=-1, keepdims=True), 1e-12)
-            ang = np.degrees(np.arccos(np.clip((a0 * a1).sum(-1), -1, 1)))
-            if np.median(ang) < self.cfg.min_tri_angle_deg:
+            ang = ang_b[ci][: len(tr)][good_np]
+            med_ang = float(np.median(ang)) if len(ang) else 0.0
+            if med_ang < cfg.min_tri_angle_deg:
                 continue
-            score = n_good * min(np.median(ang), 20.0)
+            score = n_good * min(med_ang, 20.0)
             if best is None or score > best[0]:
-                best = (score, i, j, R, t, X, good_np, tr)
+                best = (
+                    score, i, j, np.asarray(R_b[ci]), np.asarray(t_b[ci]),
+                    np.asarray(X_b[ci]), good_np, tr,
+                )
         if best is None:
             raise RuntimeError("no valid initial pair (scene too degenerate)")
         return best[1:], key
@@ -244,8 +298,8 @@ class IncrementalEngine:
         x1 = np.zeros((n, 2), np.float32)
         valid = np.zeros(n, bool)
         m = len(uvi)
-        x0[:m] = cam.pixel_to_normal(jnp.asarray(self.intr[i]), jnp.asarray(uvi))
-        x1[:m] = cam.pixel_to_normal(jnp.asarray(self.intr[j]), jnp.asarray(uvj))
+        x0[:m] = _np_pixel_to_normal(self.intr[i], uvi)
+        x1[:m] = _np_pixel_to_normal(self.intr[j], uvj)
         valid[:m] = True
         return jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(valid)
 
@@ -289,9 +343,7 @@ class IncrementalEngine:
         valid = np.zeros(n, bool)
         m = min(len(rows), n)
         X[:m] = self.points[self.obs_pt[rows[:m]]]
-        xn[:m] = np.asarray(
-            cam.pixel_to_normal(jnp.asarray(self.intr[v]), jnp.asarray(self.obs_uv[rows[:m]]))
-        )
+        xn[:m] = _np_pixel_to_normal(self.intr[v], self.obs_uv[rows[:m]])
         valid[:m] = True
         f = float(self.intr[v, 0])
         key, k = jax.random.split(key)
@@ -330,9 +382,16 @@ class IncrementalEngine:
         if len(uniq) == 0:
             return 0
         Tb = len(uniq)
-        view_idx = np.zeros((Tb, Vm), np.int32)
-        uv = np.zeros((Tb, Vm, 2), np.float32)
-        vmask = np.zeros((Tb, Vm), bool)
+        # Pad the track batch to a power-of-two bucket: a remote-compile
+        # backend pays a full compile for every new shape, so at most
+        # log2(T) shapes ever compile (round-1 profiling: per-call varying
+        # shapes cost seconds each on the axon tunnel).
+        cap = 64
+        while cap < Tb:
+            cap *= 2
+        view_idx = np.zeros((cap, Vm), np.int32)
+        uv = np.zeros((cap, Vm, 2), np.float32)
+        vmask = np.zeros((cap, Vm), bool)
         for ti in range(Tb):
             rr = rows[starts[ti] : starts[ti] + min(counts[ti], Vm)]
             L = len(rr)
@@ -343,10 +402,11 @@ class IncrementalEngine:
             jnp.asarray(self.aa), jnp.asarray(self.t), jnp.asarray(self.intr),
             jnp.asarray(view_idx), jnp.asarray(uv), jnp.asarray(vmask), Vm,
         )
+        X = np.asarray(X)[:Tb]
         ok = (
-            (np.asarray(max_err) < cfg.reproj_outlier_px)
-            & (np.asarray(angle) > cfg.min_tri_angle_deg)
-            & np.isfinite(np.asarray(X)).all(axis=-1)
+            (np.asarray(max_err)[:Tb] < cfg.reproj_outlier_px)
+            & (np.asarray(angle)[:Tb] > cfg.min_tri_angle_deg)
+            & np.isfinite(X).all(axis=-1)
         )
         new_tracks = uniq[ok]
         self.points[new_tracks] = np.asarray(X)[ok]
@@ -389,14 +449,30 @@ class IncrementalEngine:
             self.intr = np.array(intr)
         return info
 
+    def _np_reproj_errors(self) -> np.ndarray:
+        """Host-side reprojection errors over the obs table (numpy — keeps
+        tiny per-step math off the remote-compile device)."""
+        from scipy.spatial.transform import Rotation
+
+        R = Rotation.from_rotvec(self.aa).as_matrix()  # (V, 3, 3)
+        Xc = (
+            np.einsum("oij,oj->oi", R[self.obs_cam], self.points[self.obs_pt])
+            + self.t[self.obs_cam]
+        )
+        z = Xc[:, 2:3]
+        xn = Xc[:, :2] / np.where(np.abs(z) < 1e-9, 1e-9, z)
+        intr = self.intr[self.obs_cam]
+        k = intr[:, 4:7]
+        r2 = np.sum(xn * xn, axis=-1, keepdims=True)
+        scale = 1.0 + r2 * (k[:, 0:1] + r2 * (k[:, 1:2] + r2 * k[:, 2:3]))
+        uv = xn * scale * intr[:, :2] + intr[:, 2:4]
+        return np.linalg.norm(uv - self.obs_uv, axis=-1)
+
     def wash_outliers(self):
         """Deactivate high-residual observations and starved points
         (parity: the engine-internal outlier rejection, SURVEY.md §3.2)."""
-        args = self._scene_arrays()
-        sc = Scene(**{k: v for k, v in args.items()},
-                   colors=jnp.zeros((len(self.points), 3), jnp.uint8))
-        errs = np.asarray(sc.reprojection_errors())
-        mask = np.asarray(args["obs_mask"])
+        errs = self._np_reproj_errors()
+        mask = self._obs_mask()
         bad = mask & (errs > self.cfg.reproj_outlier_px)
         self.obs_ok[bad] = False
         self.obs_inlier[bad] = False
