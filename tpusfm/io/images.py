@@ -140,11 +140,36 @@ def read_image_record(
     )
 
 
+def _native_batch(paths, want_gray: bool, want_rgb: bool):
+    """Try the native C++ worker-pool decoder (native/src/ingest.cpp) for a
+    uniform-size batch; None -> caller falls back to PIL."""
+    from . import native_ingest
+
+    if not paths or not native_ingest.available():
+        return None
+    info = native_ingest.image_info(paths[0])
+    if info is None:
+        return None
+    w, h, _ = info
+    res = native_ingest.load_batch(paths, w, h, gray=want_gray, rgb=want_rgb)
+    if res is None:
+        return None
+    gray, rgb, status = res
+    if not status.all():  # mixed sizes/undecodable -> PIL path handles it
+        return None
+    return gray, rgb
+
+
 def load_images_gray(paths, target_size: tuple[int, int] | None = None) -> np.ndarray:
     """Load images as (V, H, W) float32 grayscale in [0, 1].  All images must
-    share one size (or are resized to target_size)."""
+    share one size (or are resized to target_size).  Uses the native C++
+    threaded decoder when available, PIL otherwise."""
     from PIL import Image
 
+    if target_size is None:
+        res = _native_batch(list(paths), True, False)
+        if res is not None:
+            return res[0]
     out = []
     for p in paths:
         img = Image.open(p).convert("L")
@@ -168,6 +193,10 @@ def load_images_gray(paths, target_size: tuple[int, int] | None = None) -> np.nd
 def load_images_rgb(paths, target_size: tuple[int, int] | None = None) -> np.ndarray:
     from PIL import Image
 
+    if target_size is None:
+        res = _native_batch(list(paths), False, True)
+        if res is not None:
+            return res[1]
     out = []
     for p in paths:
         img = Image.open(p).convert("RGB")
