@@ -120,6 +120,36 @@ def read_ply_points(path: str | Path):
     return xyz, rgb
 
 
+def write_pcd_points(path: str | Path, points: np.ndarray, colors: np.ndarray | None = None) -> int:
+    """ASCII PCD writer (parity: WorldStructure::writeToPCDFile,
+    src/world/WorldStructure.h:66-81) with the same NaN guard."""
+    points = np.asarray(points, dtype=np.float32).reshape(-1, 3)
+    finite = np.isfinite(points).all(axis=1)
+    points = points[finite]
+    if colors is not None:
+        colors = np.asarray(colors).reshape(-1, 3)[finite].astype(np.uint32)
+        rgb = (colors[:, 0] << 16) | (colors[:, 1] << 8) | colors[:, 2]
+    n = len(points)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        fields = "x y z rgb" if colors is not None else "x y z"
+        counts = "1 1 1 1" if colors is not None else "1 1 1"
+        types = "F F F U" if colors is not None else "F F F"
+        sizes = "4 4 4 4" if colors is not None else "4 4 4"
+        f.write(
+            "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+            f"FIELDS {fields}\nSIZE {sizes}\nTYPE {types}\nCOUNT {counts}\n"
+            f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\nDATA ascii\n"
+        )
+        for i, p in enumerate(points):
+            if colors is not None:
+                f.write(f"{p[0]} {p[1]} {p[2]} {rgb[i]}\n")
+            else:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+    return n
+
+
 def write_ply_mesh(
     path: str | Path,
     vertices: np.ndarray,

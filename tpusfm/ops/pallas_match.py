@@ -63,9 +63,13 @@ def _match_kernel(a_ref, b_ref, b2m_ref, d1_ref, d2_ref, i1_ref):
         jnp.zeros((TM,), jnp.int32),
     )
     best1, best2, bidx = jax.lax.fori_loop(0, nb // TN, body, init)
-    d1_ref[:] = best1 + a2
-    d2_ref[:] = best2 + a2
-    i1_ref[:] = bidx
+    # Each program writes its row of the (num_tiles, TM) outputs.  (1-D
+    # outputs hit an XLA/Mosaic layout mismatch, and (1, TM) blocks violate
+    # the 8-sublane rule, so outputs are whole-array blocks + row writes.)
+    row = pl.program_id(0)
+    d1_ref[row, :] = best1 + a2
+    d2_ref[row, :] = best2 + a2
+    i1_ref[row, :] = bidx
 
 
 def _pad_to(x, n, axis, value=0):
@@ -100,18 +104,18 @@ def match_topk2(da, db, mask_b, interpret: bool = False):
             pl.BlockSpec((2, nb_p), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TM,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((na_p // TM, TM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((na_p // TM, TM), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((na_p // TM, TM), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((na_p,), jnp.float32),
-            jax.ShapeDtypeStruct((na_p,), jnp.float32),
-            jax.ShapeDtypeStruct((na_p,), jnp.int32),
+            jax.ShapeDtypeStruct((na_p // TM, TM), jnp.float32),
+            jax.ShapeDtypeStruct((na_p // TM, TM), jnp.float32),
+            jax.ShapeDtypeStruct((na_p // TM, TM), jnp.int32),
         ),
         interpret=interpret,
     )(a, b, b2m)
-    return d1[:na], d2[:na], i1[:na]
+    return d1.reshape(-1)[:na], d2.reshape(-1)[:na], i1.reshape(-1)[:na]
 
 
 def match_descriptors_pallas(da, db, mask_a, mask_b, ratio: float = 0.8,

@@ -128,6 +128,8 @@ class StagedPipeline:
         key = jax.random.PRNGKey(0) if key is None else key
 
         # matchPair + match (putative)
+        from ..io import reports
+
         if self._done("matches_putative.npz"):
             d = np.load(self.ws / "matches_putative.npz")
             pair_list, mi, mv = d["pairs"], d["idx"], d["valid"]
@@ -136,6 +138,12 @@ class StagedPipeline:
             mi, mv = sp.match_pairs(feats, pair_list, self.cfg, self.progress)
             np.savez_compressed(self.ws / "matches_putative.npz",
                                 pairs=pair_list, idx=mi, valid=mv)
+            # Diagnostics parity (.cpp:1010-1019): adjacency SVG + stats.
+            counts = mv.sum(axis=1)
+            reports.write_adjacency_svg(self.ws / "putative_matches.svg", V, pair_list, counts)
+            (self.ws / "putative_graph_stats.json").write_text(
+                json.dumps(reports.graph_stats(V, pair_list, counts))
+            )
         # filter (geometric)
         if self._done("matches_geometric.npz"):
             d = np.load(self.ws / "matches_geometric.npz")
@@ -145,6 +153,13 @@ class StagedPipeline:
             mi, mv, pair_ok = sp.filter_pairs(feats, pair_list, mi, mv, self.cfg, k, self.progress)
             np.savez_compressed(self.ws / "matches_geometric.npz",
                                 pairs=pair_list, idx=mi, valid=mv, pair_ok=pair_ok)
+            # Diagnostics parity (.cpp:1249-1269).
+            counts = mv.sum(axis=1)
+            reports.write_adjacency_svg(self.ws / "geometric_matches.svg", V, pair_list, counts)
+            reports.write_graphviz(self.ws / "geometric_matches.dot", pair_list, counts)
+            (self.ws / "geometric_graph_stats.json").write_text(
+                json.dumps(reports.graph_stats(V, pair_list, counts))
+            )
 
         # reconstruction
         key, k = jax.random.split(key)
@@ -167,6 +182,10 @@ class StagedPipeline:
         )
         ply.write_ply_points(
             self.ws / "colorized.ply",
+            np.asarray(scene.points)[pm], np.asarray(scene.colors)[pm],
+        )
+        ply.write_pcd_points(
+            self.ws / "colorized.pcd",
             np.asarray(scene.points)[pm], np.asarray(scene.colors)[pm],
         )
         report = {
