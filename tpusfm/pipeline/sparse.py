@@ -179,13 +179,22 @@ def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
 
 def reconstruct(feats: sift.Features, intr, pair_list, match_idx, match_valid,
                 cfg: PipelineConfig, key=None, progress=_noop_progress):
-    """Tracks + incremental engine (parity: reconstruction(), .cpp:1283)."""
+    """Tracks + reconstruction engine (parity: reconstruction(), .cpp:1283;
+    engine selected per cfg.engine_type like the ESfMEngine enum)."""
     V, N = np.asarray(feats.mask).shape
     track_ids, n_tracks = tracks_mod.build_tracks(V, N, pair_list, match_idx, match_valid)
-    engine = incremental.IncrementalEngine(
-        np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
-        cfg.engine, progress=progress,
-    )
+    if cfg.engine_type == "global":
+        from ..sfm import global_sfm
+
+        engine = global_sfm.GlobalEngine(
+            np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
+            progress=progress,
+        )
+    else:
+        engine = incremental.IncrementalEngine(
+            np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
+            cfg.engine, progress=progress,
+        )
     scene = engine.run(key)
     return scene, engine
 
