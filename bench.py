@@ -35,6 +35,44 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _ba_500_iters_per_s(small: bool) -> float:
+    """LM iterations/s on a 500-camera / 50k-point synthetic problem
+    (reference config: Ceres SPARSE_SCHUR single thread,
+    BundleAdjuster.h:167-174)."""
+    import sys as _sys
+    import time as _time
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    import jax
+    import jax.numpy as jnp
+    from synth import orbit_scene
+    from tpusfm.ba import bundle_adjust as ba
+
+    C, P = (100, 8000) if small else (500, 50000)
+    s = orbit_scene(n_cams=C, n_points=P, noise_px=0.5, seed=3, arc_deg=350.0,
+                    vis_prob=0.3)
+    O = len(s["obs_cam"])
+    r = np.random.default_rng(0)
+    args = dict(
+        intr=jnp.asarray(np.tile(s["intr"], (C, 1))),
+        cam_rot=jnp.asarray(s["aa"] + r.normal(scale=0.01, size=(C, 3)), dtype=jnp.float32),
+        cam_t=jnp.asarray(s["t"] + r.normal(scale=0.01, size=(C, 3)), dtype=jnp.float32),
+        cam_mask=jnp.ones(C, bool),
+        points=jnp.asarray(s["points"] + r.normal(scale=0.02, size=(P, 3)), dtype=jnp.float32),
+        point_mask=jnp.asarray(s["point_valid"]),
+        obs_cam=jnp.asarray(s["obs_cam"]), obs_pt=jnp.asarray(s["obs_pt"]),
+        obs_uv=jnp.asarray(s["obs_uv"]), obs_mask=jnp.ones(O, bool),
+    )
+    cfg = ba.BAConfig(max_iters=10, cg_iters=30)
+    out = ba.bundle_adjust(cfg=cfg, **args)
+    jax.block_until_ready(out[3])  # compile
+    t0 = _time.time()
+    out = ba.bundle_adjust(cfg=cfg, **args)
+    jax.block_until_ready(out[3])
+    return 10.0 / (_time.time() - t0)
+
+
 def main():
     small = os.environ.get("BENCH_PRESET") == "small"
     n_views = int(os.environ.get("BENCH_VIEWS", 8 if small else 20))
@@ -89,6 +127,15 @@ def main():
         f"ATE {ate:.4f} (scene radius 8.0) | stage times {report['times_s']}"
     )
 
+    # Secondary metric (BASELINE.md): BA iterations/s at 500 cameras.
+    ba_its = None
+    if os.environ.get("BENCH_SKIP_BA") != "1":
+        try:
+            ba_its = _ba_500_iters_per_s(small)
+            log(f"BA @ {'100' if small else '500'} cams: {ba_its:.2f} LM iters/s")
+        except Exception as e:
+            log(f"BA secondary metric failed: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "sparse_sfm_frames_per_s",
         "value": round(fps, 3),
@@ -99,6 +146,7 @@ def main():
             "registered": int(reg.sum()), "points": int(report["n_points"]),
             "ate": None if np.isnan(ate) else round(ate, 4),
             "stage_times_s": report["times_s"],
+            "ba_lm_iters_per_s": None if ba_its is None else round(ba_its, 2),
         },
     }))
 

@@ -48,6 +48,10 @@ class BAConfig:
     lambda_min: float = 1e-10
     lambda_max: float = 1e8
     fix_first_cam: bool = True     # gauge (BundleAdjuster.h:105)
+    obs_chunk: int = 65536         # obs per assembly chunk: per-obs (D, D)
+                                   # blocks tile to (8, 128) on TPU (20-40x
+                                   # padding), so assembly scans chunks
+                                   # instead of materializing (O, D, D)
     axis_name: str | None = None   # mesh axis the observation table is
                                    # sharded over (distributed BA: partial
                                    # segment-sums are psum-reduced, SURVEY.md
@@ -117,53 +121,107 @@ def _maybe_psum(x, axis_name):
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def _chunk_obs(arrs, n_chunks: int):
+    """Reshape leading obs axis to (n_chunks, chunk, ...); O must divide."""
+    return [a.reshape(n_chunks, a.shape[0] // n_chunks, *a.shape[1:]) for a in arrs]
+
+
 def _build_system(cam_params, points, intr_static, obs_cam, obs_pt, obs_uv,
                   obs_w, cfg: BAConfig):
-    """Assemble the per-observation weighted Jacobian blocks and the
-    segment-summed normal-equation pieces."""
-    cp_o = cam_params[obs_cam]
-    X_o = points[obs_pt]
-    intr_o = intr_static[obs_cam]
-    r, Jc, Jp = _obs_jacobians(cp_o, X_o, intr_o, obs_uv, cfg.refine_intrinsics)
-    w = (_huber_weight(r, cfg.huber_delta) * obs_w)[:, None]
-    r = r * w
-    Jc = Jc * w[..., None]
-    Jp = Jp * w[..., None]
+    """Assemble the segment-summed normal-equation pieces.
+
+    TPU layout note: per-observation block tensors like (O, 6, 6) tile to
+    (8, 128) on their trailing dims — a 20-40x padding blow-up that OOMs at
+    millions of observations.  So (a) assembly runs as a lax.scan over
+    observation chunks, materializing only (chunk, D, D) at a time, and
+    (b) the coupling blocks persist flattened as (O, D*3) (lane dim D*3
+    instead of 3), cutting the resident footprint ~8x."""
     C = cam_params.shape[0]
     P = points.shape[0]
-    # Per-camera DxD and per-point 3x3 diagonal blocks.
+    D = cfg.cam_dim
+    O = obs_cam.shape[0]
     ax = cfg.axis_name
-    Hcc = _maybe_psum(jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jc, Jc), obs_cam, C), ax)
-    Hpp = _maybe_psum(jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jp, Jp), obs_pt, P), ax)
-    gc = _maybe_psum(jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jc, r), obs_cam, C), ax)
-    gp = _maybe_psum(jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jp, r), obs_pt, P), ax)
-    # Per-observation coupling block W_o = Jc^T Jp (D, 3).
-    Wo = jnp.einsum("oki,okj->oij", Jc, Jp)
-    return r, Jc, Jp, Wo, Hcc, Hpp, gc, gp
+    n_chunks = max(1, O // max(cfg.obs_chunk, 1))
+    while O % n_chunks:
+        n_chunks -= 1
+    ocam_c, opt_c, ouv_c, ow_c = _chunk_obs([obs_cam, obs_pt, obs_uv, obs_w], n_chunks)
+
+    def chunk_body(carry, inp):
+        Hcc, Hpp, gc, gp = carry
+        ocam, opt, ouv, ow = inp
+        cp_o = cam_params[ocam]
+        X_o = points[opt]
+        intr_o = intr_static[ocam]
+        r, Jc, Jp = _obs_jacobians(cp_o, X_o, intr_o, ouv, cfg.refine_intrinsics)
+        w = (_huber_weight(r, cfg.huber_delta) * ow)[:, None]
+        r = r * w
+        Jc = Jc * w[..., None]
+        Jp = Jp * w[..., None]
+        Hcc += jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jc, Jc), ocam, C)
+        Hpp += jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jp, Jp), opt, P)
+        gc += jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jc, r), ocam, C)
+        gp += jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jp, r), opt, P)
+        Wo_flat = jnp.einsum("oki,okj->oij", Jc, Jp).reshape(-1, D * 3)
+        return (Hcc, Hpp, gc, gp), Wo_flat
+
+    init = (
+        jnp.zeros((C, D, D)), jnp.zeros((P, 3, 3)),
+        jnp.zeros((C, D)), jnp.zeros((P, 3)),
+    )
+    if ax:
+        # Under shard_map the accumulators are device-varying; mark the
+        # zero init accordingly or the scan carry types disagree.
+        init = jax.tree_util.tree_map(lambda z: jax.lax.pcast(z, ax, to='varying'), init)
+    (Hcc, Hpp, gc, gp), Wo_chunks = jax.lax.scan(
+        chunk_body, init, (ocam_c, opt_c, ouv_c, ow_c)
+    )
+    Wo = Wo_chunks.reshape(O, D * 3)  # flattened (O, D*3) coupling blocks
+    Hcc = _maybe_psum(Hcc, ax)
+    Hpp = _maybe_psum(Hpp, ax)
+    gc = _maybe_psum(gc, ax)
+    gp = _maybe_psum(gp, ax)
+    return Wo, Hcc, Hpp, gc, gp
 
 
 def _schur_matvec(v, Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, P, axis_name=None):
     """Matrix-free S @ v for the reduced camera system
-    S = Hcc - W Hpp^{-1} W^T, with v (C, D).  With a sharded observation
-    table, both segment-sums reduce over the mesh axis."""
+    S = Hcc - W Hpp^{-1} W^T, with v (C, D).  Wo is the flattened (O, D*3)
+    coupling table.  With a sharded observation table, both segment-sums
+    reduce over the mesh axis."""
+    D = v.shape[-1]
+    Wo3 = Wo.reshape(-1, D, 3)
     # y_p = sum_{o in p} W_o^T v_{cam(o)}
-    Wv = jnp.einsum("oij,oi->oj", Wo, v[obs_cam])  # (O, 3)
+    Wv = jnp.einsum("oij,oi->oj", Wo3, v[obs_cam])  # (O, 3)
     y = _maybe_psum(jax.ops.segment_sum(Wv, obs_pt, P), axis_name)  # (P, 3)
     z = jnp.einsum("pij,pj->pi", Hpp_inv, y)  # (P, 3)
-    back = jnp.einsum("oij,oj->oi", Wo, z[obs_pt])  # (O, D)
+    back = jnp.einsum("oij,oj->oi", Wo3, z[obs_pt])  # (O, D)
     WHWv = _maybe_psum(jax.ops.segment_sum(back, obs_cam, C), axis_name)  # (C, D)
     Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
     return Hv - WHWv
 
 
-def _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, axis_name=None):
+def _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, cfg, axis_name=None):
     """Exact diagonal blocks of S for the block-Jacobi preconditioner
-    (the TPU analog of Ceres' SCHUR_JACOBI)."""
-    contrib = jnp.einsum(
-        "oij,ojk,olk->oil", Wo, Hpp_inv[obs_pt], Wo
-    )  # (O, D, D)
-    S_diag = Hcc_d - _maybe_psum(jax.ops.segment_sum(contrib, obs_cam, C), axis_name)
-    return S_diag
+    (the TPU analog of Ceres' SCHUR_JACOBI).  Chunked like _build_system to
+    avoid a resident (O, D, D) tensor."""
+    D = Hcc_d.shape[-1]
+    O = obs_cam.shape[0]
+    n_chunks = max(1, O // max(cfg.obs_chunk, 1))
+    while O % n_chunks:
+        n_chunks -= 1
+    Wo_c, ocam_c, opt_c = _chunk_obs([Wo, obs_cam, obs_pt], n_chunks)
+
+    def body(acc, inp):
+        Wf, ocam, opt = inp
+        W3 = Wf.reshape(-1, D, 3)
+        contrib = jnp.einsum("oij,ojk,olk->oil", W3, Hpp_inv[opt], W3)
+        return acc + jax.ops.segment_sum(contrib, ocam, C), None
+
+    acc0 = jnp.zeros((C, D, D))
+    if axis_name:
+        acc0 = jax.lax.pcast(acc0, axis_name, to="varying")
+    acc, _ = jax.lax.scan(body, acc0, (Wo_c, ocam_c, opt_c))
+    return Hcc_d - _maybe_psum(acc, axis_name)
 
 
 def _pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
@@ -254,6 +312,15 @@ def bundle_adjust(
     C = intr.shape[0]
     P = points.shape[0]
     D = cfg.cam_dim
+    # Pad the obs table so the assembly chunk size divides it exactly
+    # (padded rows have zero weight — harmless everywhere).
+    O = obs_cam.shape[0]
+    if O > cfg.obs_chunk and O % cfg.obs_chunk:
+        pad = cfg.obs_chunk - (O % cfg.obs_chunk)
+        obs_cam = jnp.concatenate([obs_cam, jnp.zeros(pad, obs_cam.dtype)])
+        obs_pt = jnp.concatenate([obs_pt, jnp.zeros(pad, obs_pt.dtype)])
+        obs_uv = jnp.concatenate([obs_uv, jnp.zeros((pad, 2), obs_uv.dtype)])
+        obs_mask = jnp.concatenate([obs_mask, jnp.zeros(pad, obs_mask.dtype)])
     obs_w = obs_mask.astype(jnp.float32)
     # Gauge: freeze camera 0's block (first registered camera in slot 0).
     free = cam_mask if cam_free_mask is None else (cam_mask & cam_free_mask)
@@ -278,9 +345,10 @@ def bundle_adjust(
     def lm_step(carry, _):
         cp, pts, lam, cost, done = carry
 
-        r, Jc, Jp, Wo, Hcc, Hpp, gc, gp = _build_system(
+        Wo, Hcc, Hpp, gc, gp = _build_system(
             cp, pts, intr_static, obs_cam, obs_pt, obs_uv, obs_w, cfg
         )
+        Wo3 = Wo.reshape(-1, D, 3)
         eyeD = jnp.eye(D, dtype=cp.dtype)
         eye3 = jnp.eye(3, dtype=cp.dtype)
         # Additive LM damping on the diagonal blocks.
@@ -290,11 +358,12 @@ def bundle_adjust(
 
         # Reduced system: S dc = -gc + W Hpp^-1 gp
         z = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
-        back = jnp.einsum("oij,oj->oi", Wo, z[obs_pt])
+        back = jnp.einsum("oij,oj->oi", Wo3, z[obs_pt])
         rhs = -gc + _maybe_psum(jax.ops.segment_sum(back, obs_cam, C), cfg.axis_name)
         rhs = rhs * upd_mask
 
-        S_diag = _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, cfg.axis_name)
+        S_diag = _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, cfg,
+                                    cfg.axis_name)
         M_inv = _invD(S_diag)
 
         def mv(v):
@@ -304,7 +373,7 @@ def bundle_adjust(
         dc = _pcg(mv, rhs, M_inv, cfg.cg_iters, cfg.cg_tol) * upd_mask
         # Back-substitute points: dp = -Hpp^-1 (gp + W^T dc)
         Wtdc = _maybe_psum(jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", Wo, dc[obs_cam]), obs_pt, P
+            jnp.einsum("oij,oi->oj", Wo3, dc[obs_cam]), obs_pt, P
         ), cfg.axis_name)
         dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtdc) * pt_upd
 

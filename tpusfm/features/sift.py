@@ -62,6 +62,10 @@ class SiftConfig:
     desc_grid: int = 16        # sample grid side for the descriptor window
     magnif: float = 3.0        # descriptor bin width in units of sigma
     refine_iters: int = 4
+    n_orientations: int = 1    # emit up to this many orientation peaks per
+                               # keypoint (vlfeat emits up to 4 peaks >= 80%
+                               # of the max, sift.c:1684-1700; capacity cost
+                               # is linear so the default stays 1)
 
 
 def preset(name: str, **overrides) -> SiftConfig:
@@ -260,7 +264,9 @@ def _soft_bin_linear(fbin: jnp.ndarray, n_bins: int) -> jnp.ndarray:
 
 
 def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, x, y, sigma, cfg: SiftConfig):
-    """Dominant gradient orientation for one keypoint (vl/sift.c:1570-1703).
+    """Orientation peaks for one keypoint (vl/sift.c:1570-1703): returns
+    (thetas (n_orientations,), ori_mask (n_orientations,)) — the dominant
+    peak plus secondary local maxima >= 80% of it.
     mag/ang: (H, W) of the keypoint's pyramid level."""
     G = cfg.orient_grid
     win_r = 3.0 * 1.5 * sigma  # vlfeat window radius
@@ -279,15 +285,32 @@ def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, x, y, sigma, cfg: SiftC
     # Smooth the circular histogram (vlfeat smooths 6x with a box filter).
     for _ in range(6):
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
-    peak = jnp.argmax(hist)
-    # Parabolic peak interpolation.
-    hp = hist[(peak + 1) % cfg.orient_bins]
-    hm = hist[(peak - 1) % cfg.orient_bins]
-    h0 = hist[peak]
-    denom = hm - 2.0 * h0 + hp
-    dp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hm - hp) / denom, 0.0)
-    dp = jnp.clip(dp, -0.5, 0.5)
-    return jnp.mod((peak + dp) / cfg.orient_bins * 2.0 * np.pi, 2.0 * np.pi)
+    def interp_peak(peak):
+        hp = hist[(peak + 1) % cfg.orient_bins]
+        hm = hist[(peak - 1) % cfg.orient_bins]
+        h0 = hist[peak]
+        denom = hm - 2.0 * h0 + hp
+        dp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (hm - hp) / denom, 0.0)
+        dp = jnp.clip(dp, -0.5, 0.5)
+        return jnp.mod((peak + dp) / cfg.orient_bins * 2.0 * np.pi, 2.0 * np.pi)
+
+    n_bins = cfg.orient_bins
+    is_local_max = (hist >= jnp.roll(hist, 1)) & (hist >= jnp.roll(hist, -1))
+    peak0 = jnp.argmax(hist)
+    thetas = [interp_peak(peak0)]
+    masks = [jnp.bool_(True)]
+    h_max = hist[peak0]
+    excluded = jnp.abs(jnp.arange(n_bins) - peak0)
+    excluded = jnp.minimum(excluded, n_bins - excluded) <= 1
+    for _ in range(cfg.n_orientations - 1):
+        cand = jnp.where(is_local_max & ~excluded, hist, -1.0)
+        pk = jnp.argmax(cand)
+        ok = cand[pk] >= 0.8 * h_max  # vlfeat's 80% rule
+        thetas.append(interp_peak(pk))
+        masks.append(ok)
+        d = jnp.abs(jnp.arange(n_bins) - pk)
+        excluded = excluded | (jnp.minimum(d, n_bins - d) <= 1)
+    return jnp.stack(thetas), jnp.stack(masks)
 
 
 def _descriptor_one(mag, ang, x, y, sigma, theta, cfg: SiftConfig):
@@ -350,17 +373,35 @@ def _detect_octave(oct_data, octave_idx: int, cfg: SiftConfig):
         m = mag_l[s_idx]  # dynamic level gather
         a = ang_l[s_idx]
         sigma_oct = cfg.sigma0 * 2.0 ** (s_cont / S)
-        theta = _orientation_one(m, a, x, y, sigma_oct, cfg)
-        desc = _descriptor_one(m, a, x, y, sigma_oct, theta, cfg)
-        return theta, desc, sigma_oct
+        thetas, ori_mask = _orientation_one(m, a, x, y, sigma_oct, cfg)
+        descs = jax.vmap(
+            lambda th: _descriptor_one(m, a, x, y, sigma_oct, th, cfg)
+        )(thetas)
+        return thetas, ori_mask, descs, sigma_oct
 
-    theta, desc, sigma_oct = jax.vmap(
+    theta, ori_mask, desc, sigma_oct = jax.vmap(
         jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0))
     )(mag, ang, x, y, s_cont, s_idx)
+    # Shapes: theta/ori_mask (B, K, n_ori), desc (B, K, n_ori, 128).
 
     scale = 2.0 ** (octave_idx + cfg.first_octave)
-    kp = jnp.stack([x * scale, y * scale, sigma_oct * scale, theta], axis=-1)
-    return Features(kp=kp, desc=desc, score=jnp.abs(val), mask=valid)
+    n_ori = cfg.n_orientations
+    B, K = x.shape
+
+    def tile(v):  # (B, K) -> (B, K * n_ori)
+        return jnp.repeat(v[..., None], n_ori, axis=-1).reshape(B, K * n_ori)
+
+    kp = jnp.stack(
+        [tile(x * scale), tile(y * scale), tile(sigma_oct * scale),
+         theta.reshape(B, K * n_ori)],
+        axis=-1,
+    )
+    return Features(
+        kp=kp,
+        desc=desc.reshape(B, K * n_ori, -1),
+        score=tile(jnp.abs(val)),
+        mask=tile(valid) & ori_mask.reshape(B, K * n_ori),
+    )
 
 
 def sift_features(images: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
