@@ -54,8 +54,9 @@ def _solve_epipolar_lstsq(x0n: jnp.ndarray, x1n: jnp.ndarray, w: jnp.ndarray):
     A = (p1[..., :, None] * p0[..., None, :]).reshape(*x0n.shape[:-1], 9)
     A = A * w[..., None]
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    f = vecs[..., :, 0]
+    from .triangulate import smallest_eigvec_sym
+
+    f = smallest_eigvec_sym(AtA, iters=8)
     return f.reshape(*f.shape[:-1], 3, 3)
 
 

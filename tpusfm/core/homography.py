@@ -30,8 +30,9 @@ def homography_dlt(x0: jnp.ndarray, x1: jnp.ndarray, w: jnp.ndarray | None = Non
     r2 = jnp.stack([zeros, zeros, zeros, -u, -v, -ones, vp * u, vp * v, vp], axis=-1)
     A = jnp.concatenate([r1 * w[..., None], r2 * w[..., None]], axis=-2)  # (..., 2N, 9)
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    h = vecs[..., :, 0]
+    from .triangulate import smallest_eigvec_sym
+
+    h = smallest_eigvec_sym(AtA, iters=8)
     Hn = h.reshape(*h.shape[:-1], 3, 3)
     T1inv = jnp.linalg.inv(T1)
     H = T1inv @ Hn @ T0

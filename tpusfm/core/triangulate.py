@@ -11,6 +11,29 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def smallest_eigvec_sym(A: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
+    """Eigenvector of the smallest eigenvalue of a symmetric PSD matrix
+    (..., n, n) by shifted inverse iteration.
+
+    On TPU, jnp.linalg.eigh lowers to a huge HLO (minutes of compile on the
+    remote-compile backend) and runs a full spectral decomposition; DLT only
+    needs the bottom eigenvector, and the normal matrices here are tiny
+    (4x4 / 9x9), so one batched inverse + a few matvecs is both faster and
+    ~100x cheaper to compile."""
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
+    B = A + (1e-7 * tr + 1e-20) * eye
+    Binv = jnp.linalg.inv(B)
+    # Start from a fixed generic vector; fp asymmetry breaks pathological
+    # orthogonality, and degenerate spectra are filtered by callers' gates.
+    v = jnp.sum(Binv, axis=-1) + 0.25 * Binv[..., -1]
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", Binv, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+    return v
+
+
 def triangulate_two_view(P0: jnp.ndarray, P1: jnp.ndarray, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
     """DLT triangulation for point batches from two cameras.
 
@@ -30,8 +53,7 @@ def triangulate_two_view(P0: jnp.ndarray, P1: jnp.ndarray, x0: jnp.ndarray, x1: 
         rows.append(x[..., :, 1:2] * P2r - P1r)
     A = jnp.stack(rows, axis=-2)  # (..., N, 4, 4)
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    Xh = vecs[..., :, 0]  # eigenvector of smallest eigenvalue
+    Xh = smallest_eigvec_sym(AtA)
     w = Xh[..., 3:4]
     w = jnp.where(jnp.abs(w) < 1e-12, jnp.sign(w) * 1e-12 + (w == 0) * 1e-12, w)
     return Xh[..., :3] / w
@@ -49,8 +71,7 @@ def triangulate_n_view(P: jnp.ndarray, x: jnp.ndarray, mask: jnp.ndarray) -> jnp
     A = A * mask[..., None, None]
     A2 = A.reshape(*A.shape[:-3], -1, 4)  # (2V, 4)
     AtA = jnp.swapaxes(A2, -1, -2) @ A2
-    _, vecs = jnp.linalg.eigh(AtA)
-    Xh = vecs[..., :, 0]
+    Xh = smallest_eigvec_sym(AtA)
     w = Xh[..., 3:4]
     w = jnp.where(jnp.abs(w) < 1e-12, jnp.sign(w) * 1e-12 + (w == 0) * 1e-12, w)
     return Xh[..., :3] / w

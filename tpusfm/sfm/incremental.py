@@ -194,18 +194,15 @@ class IncrementalEngine:
     # -- bookkeeping ------------------------------------------------------
 
     def _count_shared_tracks(self):
-        """(V, V) number of shared tracks between view pairs."""
-        counts = np.zeros((self.V, self.V), np.int32)
-        track_views: dict[int, list[int]] = {}
-        for o in range(self.O):
-            track_views.setdefault(int(self.obs_pt[o]), []).append(int(self.obs_cam[o]))
-        for views in track_views.values():
-            for i in range(len(views)):
-                for j in range(i + 1, len(views)):
-                    a, b = views[i], views[j]
-                    counts[a, b] += 1
-                    counts[b, a] += 1
-        return counts
+        """(V, V) number of shared tracks between view pairs — one
+        incidence-matrix product instead of per-track Python loops."""
+        if self.O == 0:
+            return np.zeros((self.V, self.V), np.int32)
+        inc = np.zeros((max(self.T, 1), self.V), np.int32)
+        inc[self.obs_pt, self.obs_cam] = 1
+        counts = inc.T @ inc
+        np.fill_diagonal(counts, 0)
+        return counts.astype(np.int32)
 
     def _pair_correspondences(self, i, j):
         """Matched keypoints between views i and j via shared tracks.
@@ -392,12 +389,18 @@ class IncrementalEngine:
         view_idx = np.zeros((cap, Vm), np.int32)
         uv = np.zeros((cap, Vm, 2), np.float32)
         vmask = np.zeros((cap, Vm), bool)
-        for ti in range(Tb):
-            rr = rows[starts[ti] : starts[ti] + min(counts[ti], Vm)]
-            L = len(rr)
-            view_idx[ti, :L] = self.obs_cam[rr]
-            uv[ti, :L] = self.obs_uv[rr]
-            vmask[ti, :L] = True
+        # Vectorized group fill: element k of the expanded range belongs to
+        # group grp[k] at in-group position off[k]; positions >= Vm truncate.
+        grp = np.repeat(np.arange(Tb), counts)
+        off = np.arange(len(grp)) - np.repeat(np.cumsum(counts) - counts, counts)
+        row_pos = np.repeat(starts, counts) + off
+        keep_pos = off < Vm
+        g = grp[keep_pos]
+        p_ = off[keep_pos]
+        rr = rows[row_pos[keep_pos]]
+        view_idx[g, p_] = self.obs_cam[rr]
+        uv[g, p_] = self.obs_uv[rr]
+        vmask[g, p_] = True
         X, max_err, angle = _triangulate_tracks_kernel(
             jnp.asarray(self.aa), jnp.asarray(self.t), jnp.asarray(self.intr),
             jnp.asarray(view_idx), jnp.asarray(uv), jnp.asarray(vmask), Vm,
@@ -556,8 +559,9 @@ class IncrementalEngine:
             0,
             [images.shape[2] - 1, images.shape[1] - 1],
         )
-        for o in np.nonzero(mask)[0]:
-            acc[self.obs_pt[o]] += images[self.obs_cam[o], uv[o, 1], uv[o, 0]]
-            cnt[self.obs_pt[o]] += 1
+        rows = np.nonzero(mask)[0]
+        samples = images[self.obs_cam[rows], uv[rows, 1], uv[rows, 0]].astype(np.float64)
+        np.add.at(acc, self.obs_pt[rows], samples)
+        np.add.at(cnt, self.obs_pt[rows], 1)
         colors = (acc / np.maximum(cnt[:, None], 1)).astype(np.uint8)
         return scene.replace(colors=jnp.asarray(colors))

@@ -39,8 +39,9 @@ def pnp_dlt(X: jnp.ndarray, xn: jnp.ndarray, w: jnp.ndarray | None = None):
     r2 = jnp.concatenate([zeros, Xh, -v * Xh], axis=-1)
     A = jnp.concatenate([r1 * w[..., None], r2 * w[..., None]], axis=-2)
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[..., :, 0]
+    from ..core.triangulate import smallest_eigvec_sym
+
+    p = smallest_eigvec_sym(AtA, iters=8)
     P = p.reshape(*p.shape[:-1], 3, 4)
     M = P[..., :, :3]
     t = P[..., :, 3]

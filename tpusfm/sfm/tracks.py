@@ -50,43 +50,57 @@ def build_tracks(
     Returns (track_ids (n_views, n_feats) int32 — -1 for featureless slots,
     n_tracks).  Tracks containing two features of the same view (inconsistent
     matches) are dropped, as are tracks shorter than min_length.
-    """
-    uf = UnionFind(n_views * n_feats)
-    for p, (i, j) in enumerate(np.asarray(pair_list)):
-        fi = np.nonzero(match_valid[p])[0]
-        fj = match_idx[p][fi]
-        for a, b in zip(fi, fj):
-            uf.union(int(i) * n_feats + int(a), int(j) * n_feats + int(b))
 
-    # Collect roots for every node that participated in a match.
-    nodes = np.nonzero(uf.parent != np.arange(len(uf.parent)))[0]
-    all_nodes = set(nodes.tolist())
-    for n in nodes:
-        all_nodes.add(uf.find(int(n)))
-    all_nodes = np.fromiter(all_nodes, dtype=np.int64)
-
-    roots = np.asarray([uf.find(int(n)) for n in all_nodes], dtype=np.int64)
+    Implementation is a fully vectorized connected-components pass
+    (min-label propagation + pointer jumping, O(E log V) numpy) — the
+    per-edge Python union-find was the single largest host cost in the
+    end-to-end pipeline (~tens of seconds at a few hundred thousand
+    matches)."""
+    pair_list = np.asarray(pair_list)
+    match_idx = np.asarray(match_idx)
+    match_valid = np.asarray(match_valid)
     track_ids = np.full((n_views, n_feats), -1, dtype=np.int32)
+    if len(pair_list) == 0 or not match_valid.any():
+        return track_ids, 0
 
-    # Group nodes by root.
-    order = np.argsort(roots, kind="stable")
-    sorted_roots = roots[order]
-    sorted_nodes = all_nodes[order]
-    boundaries = np.nonzero(np.diff(sorted_roots))[0] + 1
-    groups = np.split(sorted_nodes, boundaries)
+    pv, fv = np.nonzero(match_valid)
+    a = pair_list[pv, 0].astype(np.int64) * n_feats + fv
+    b = pair_list[pv, 1].astype(np.int64) * n_feats + match_idx[pv, fv]
+    nodes = np.unique(np.concatenate([a, b]))
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
 
-    tid = 0
-    for g in groups:
-        if len(g) < min_length:
-            continue
-        views = g // n_feats
-        if len(np.unique(views)) != len(views):
-            continue  # inconsistent: two features of one view in a track
-        if len(views) < min_length:
-            continue
-        track_ids[views, g % n_feats] = tid
-        tid += 1
-    return track_ids, tid
+    labels = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(labels[ai], labels[bi])
+        new = labels.copy()
+        np.minimum.at(new, ai, m)
+        np.minimum.at(new, bi, m)
+        new = new[new]  # pointer jumping
+        if np.array_equal(new, labels):
+            break
+        labels = new
+
+    roots, comp = np.unique(labels, return_inverse=True)  # comp: node -> cc id
+    views = nodes // n_feats
+    feats = nodes % n_feats
+
+    # Component sizes and per-(component, view) duplicate detection.
+    sizes = np.bincount(comp)
+    order = np.lexsort((views, comp))
+    cs = comp[order]
+    vs = views[order]
+    dup = (cs[1:] == cs[:-1]) & (vs[1:] == vs[:-1])
+    bad = np.zeros(len(roots), bool)
+    bad[cs[1:][dup]] = True  # inconsistent: two features of one view
+    keep = (sizes >= min_length) & ~bad
+
+    tid_of_comp = np.full(len(roots), -1, np.int64)
+    tid_of_comp[keep] = np.arange(int(keep.sum()))
+    tids = tid_of_comp[comp]
+    sel = tids >= 0
+    track_ids[views[sel], feats[sel]] = tids[sel].astype(np.int32)
+    return track_ids, int(keep.sum())
 
 
 def track_observations(track_ids: np.ndarray, kp_xy: np.ndarray):
