@@ -1,0 +1,96 @@
+"""View-cluster sharded dense depth estimation.
+
+SURVEY.md §2.3 item 5: each device computes plane-sweep depth maps for its
+cluster of reference views (DP over views); the consistency filter and
+fusion read all maps afterwards.  The per-view sweep inputs (source poses,
+depth ranges) are packed into per-view arrays so the whole stage is one
+shard_map over the ``views`` axis — images are replicated (each device
+needs arbitrary source views), depth-map outputs are sharded.
+
+Packed input format (pack_sweep_inputs): src_idx is (V, S+1) int32 with the
+S source view ids followed by the reference view id in the last slot.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..dense import depth as depth_mod
+
+
+def _sweep_packed(imgs, K, sidx, R_rel, t_rel, inv_depths, cfg):
+    """vmapped sweep over a (local) batch of packed per-view inputs."""
+
+    def sweep(s, Rr, tr, d):
+        ref = imgs[s[-1]]
+        srcs = imgs[s[:-1]]
+        return depth_mod.plane_sweep_depth(ref, srcs, K, Rr, tr, d, cfg)
+
+    return jax.vmap(sweep)(sidx, R_rel, t_rel, inv_depths)
+
+
+def plane_sweep_all_views(norm_images, K, src_idx, R_rel, t_rel, inv_depths,
+                          cfg: depth_mod.DenseConfig = depth_mod.DenseConfig()):
+    """Single-device reference path: (depths (V, H, W), costs (V, H, W))."""
+    return _sweep_packed(norm_images, K, src_idx, R_rel, t_rel, inv_depths, cfg)
+
+
+def plane_sweep_sharded(
+    mesh: Mesh,
+    norm_images, K, src_idx, R_rel, t_rel, inv_depths,
+    cfg: depth_mod.DenseConfig = depth_mod.DenseConfig(),
+    axis: str = "shard",
+):
+    """Same contract as plane_sweep_all_views with the view axis sharded
+    over the mesh (V must divide the axis size; pad with repeated views)."""
+    n_dev = mesh.shape[axis]
+    assert src_idx.shape[0] % n_dev == 0, (
+        f"view count {src_idx.shape[0]} must divide mesh axis {n_dev} "
+        "(pad with repeated views)"
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def _run(imgs, K_, sidx, Rr, tr, invd):
+        return _sweep_packed(imgs, K_, sidx, Rr, tr, invd, cfg)
+
+    return jax.jit(_run)(norm_images, K, src_idx, R_rel, t_rel, inv_depths)
+
+
+def pack_sweep_inputs(scene, views, cfg: depth_mod.DenseConfig, n_planes: int):
+    """Host-side packing of per-view sweep inputs for the sharded path.
+    Returns (src_idx (V, S+1) with the ref id in the last slot, R_rel,
+    t_rel, inv_depths) as numpy arrays over the given views."""
+    import numpy as np
+
+    from ..core import lie
+
+    R_all = np.asarray(lie.so3_exp(scene.cam_rot))
+    t_all = np.asarray(scene.cam_t)
+    S = cfg.n_sources
+    out_idx = np.zeros((len(views), S + 1), np.int32)
+    out_R = np.zeros((len(views), S, 3, 3), np.float32)
+    out_t = np.zeros((len(views), S, 3), np.float32)
+    out_d = np.zeros((len(views), n_planes), np.float32)
+    for k, v in enumerate(views):
+        srcs = depth_mod.select_source_views(scene, v, S)
+        while len(srcs) < S:
+            srcs.append(srcs[-1] if srcs else v)
+        rng = depth_mod.depth_range_from_sparse(scene, v, cfg.depth_margin)
+        lo, hi = rng if rng else (1.0, 10.0)
+        out_idx[k, :S] = srcs
+        out_idx[k, S] = v
+        R_rel = np.einsum("sij,kj->sik", R_all[srcs], R_all[v])
+        out_R[k] = R_rel
+        out_t[k] = t_all[srcs] - np.einsum("sij,j->si", R_rel, t_all[v])
+        out_d[k] = np.linspace(1.0 / hi, 1.0 / lo, n_planes)
+    return out_idx, out_R, out_t, out_d
