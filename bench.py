@@ -50,8 +50,10 @@ def _ba_500_iters_per_s(small: bool) -> float:
     from tpusfm.ba import bundle_adjust as ba
 
     C, P = (100, 8000) if small else (500, 50000)
+    # vis_prob tuned for a realistic track density (~3k obs per camera at
+    # 500 cams; 0.3 gave 7.4M obs = 15k/cam and needlessly OOM-stressed HBM).
     s = orbit_scene(n_cams=C, n_points=P, noise_px=0.5, seed=3, arc_deg=350.0,
-                    vis_prob=0.3)
+                    vis_prob=0.12 if small else 0.06)
     O = len(s["obs_cam"])
     r = np.random.default_rng(0)
     args = dict(

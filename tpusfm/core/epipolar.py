@@ -46,8 +46,9 @@ def _normalize_points(x: jnp.ndarray, w: jnp.ndarray | None = None):
 
 
 def _solve_epipolar_lstsq(x0n: jnp.ndarray, x1n: jnp.ndarray, w: jnp.ndarray):
-    """Least-squares epipolar constraint: rows a_i = kron(x1h, x0h), solve for
-    the null vector of A^T A (9x9 eigh — batches well on TPU)."""
+    """Least-squares epipolar constraint: rows a_i = kron(x1h, x0h); the
+    null vector of the 9x9 A^T A comes from shifted inverse iteration
+    (batched, eigh-free — see core.triangulate.smallest_eigvec_sym)."""
     ones = jnp.ones(x0n.shape[:-1] + (1,), dtype=x0n.dtype)
     p0 = jnp.concatenate([x0n, ones], axis=-1)  # (..., N, 3)
     p1 = jnp.concatenate([x1n, ones], axis=-1)

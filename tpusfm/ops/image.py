@@ -90,8 +90,14 @@ def gradients(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     (vl_sift_update_gradient, sift.c:1458-1544).  Angle in [0, 2pi)."""
     gx = 0.5 * (jnp.roll(images, -1, axis=-1) - jnp.roll(images, 1, axis=-1))
     gy = 0.5 * (jnp.roll(images, -1, axis=-2) - jnp.roll(images, 1, axis=-2))
-    # Zero the wrap-around columns/rows (use one-sided values would be better;
-    # keypoints near borders are masked anyway).
+    # Zero the wrap-around borders so roll artifacts never leak into
+    # orientation/descriptor windows sampled near the image edge.
+    h, w = images.shape[-2:]
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    interior = ((xs > 0) & (xs < w - 1))[None, :] & ((ys > 0) & (ys < h - 1))[:, None]
+    gx = gx * interior
+    gy = gy * interior
     mag = jnp.sqrt(gx * gx + gy * gy + 1e-20)
     ang = jnp.mod(jnp.arctan2(gy, gx), 2.0 * np.pi)
     return mag, ang

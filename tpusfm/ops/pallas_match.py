@@ -126,7 +126,7 @@ def match_descriptors_pallas(da, db, mask_a, mask_b, ratio: float = 0.8,
     d1, d2, i1 = match_topk2(da, db, mask_b, interpret=interpret)
     ok = mask_a & (d1 < (ratio * ratio) * d2) & (d1 < INF)
     if cross_check:
-        e1, _, j1 = match_topk2(db, da, mask_a, interpret=interpret)
+        _, _, j1 = match_topk2(db, da, mask_a, interpret=interpret)
         mutual = j1[i1] == jnp.arange(da.shape[0], dtype=jnp.int32)
         ok = ok & mutual
     return i1, ok

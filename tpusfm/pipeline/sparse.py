@@ -28,7 +28,6 @@ from ..features import sift
 from ..matching import match as match_mod
 from ..matching import pairs as pairs_mod
 from ..sfm import incremental, ransac as ransac_mod, tracks as tracks_mod
-from ..ops.image import to_grayscale
 from .config import PipelineConfig
 
 

@@ -16,6 +16,9 @@ import numpy as np
 
 
 class UnionFind:
+    """Scalar reference implementation (kept for clarity/tests); the
+    production path below is the vectorized label-propagation pass."""
+
     def __init__(self, n: int):
         self.parent = np.arange(n, dtype=np.int64)
 
