@@ -15,7 +15,9 @@ def test_preset_paths_monotone_keypoints():
         cfg = sift.preset(name, n_octaves=3, max_per_octave=256, max_features=512)
         f = sift.detect_and_describe(jnp.asarray(img[None]), cfg)
         counts[name] = int(f.n_valid[0])
-        kp = f.kp[0]
+        import numpy as np
+
+        kp = np.asarray(f.kp[0])[np.asarray(f.mask[0])]  # valid slots only
         # Coordinates stay in input-image pixels even when ULTRA upsamples.
-        assert float(kp[:, 0].max()) <= 160.0 and float(kp[:, 1].max()) <= 120.0
+        assert kp[:, 0].max() <= 160.0 and kp[:, 1].max() <= 120.0
     assert counts["NORMAL"] < counts["HIGH"] <= counts["ULTRA"] * 1.001, counts
