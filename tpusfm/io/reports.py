@@ -47,6 +47,38 @@ def write_graphviz(path, pair_list, counts):
     Path(path).write_text("\n".join(lines))
 
 
+def write_html_report(path, report: dict, svg_files: list[str] | None = None):
+    """Self-contained HTML reconstruction report (parity: the OpenMVG
+    SfMReport HTML written at sparseBuilder.cpp:1583-1584)."""
+    rows = "".join(
+        f"<tr><th>{k}</th><td><pre style='margin:0'>{_fmt(v)}</pre></td></tr>"
+        for k, v in report.items()
+    )
+    svgs = ""
+    for f in svg_files or []:
+        p = Path(f)
+        if p.exists():
+            svgs += f"<h3>{p.name}</h3>\n{p.read_text()}\n"
+    html = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>tpusfm reconstruction report</title>"
+        "<style>body{font-family:sans-serif;max-width:900px;margin:2em auto}"
+        "table{border-collapse:collapse}th,td{border:1px solid #ccc;"
+        "padding:4px 8px;text-align:left;vertical-align:top}</style></head><body>"
+        f"<h1>tpusfm reconstruction report</h1><table>{rows}</table>{svgs}"
+        "</body></html>"
+    )
+    Path(path).write_text(html)
+
+
+def _fmt(v):
+    import json
+
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, indent=1)
+    return str(v)
+
+
 def graph_stats(n_views: int, pair_list, counts) -> dict:
     """Connected components + degree statistics of the view graph (the
     reference prints these after matching, .cpp:1010/1249)."""

@@ -200,6 +200,10 @@ class StagedPipeline:
             "engine_log": engine.log,
         }
         (self.ws / "report.json").write_text(json.dumps(report, indent=2))
+        reports.write_html_report(
+            self.ws / "report.html", report,
+            [str(self.ws / "putative_matches.svg"), str(self.ws / "geometric_matches.svg")],
+        )
         self.progress("done", 1.0, n_points=report["n_points"])
         return scene, report
 

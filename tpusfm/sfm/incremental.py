@@ -383,9 +383,11 @@ class IncrementalEngine:
         # backend pays a full compile for every new shape, so at most
         # log2(T) shapes ever compile (round-1 profiling: per-call varying
         # shapes cost seconds each on the axon tunnel).
+        # Coarse buckets (x4) keep the number of distinct compiled shapes
+        # tiny — on the remote-compile backend every new shape costs seconds.
         cap = 64
         while cap < Tb:
-            cap *= 2
+            cap *= 4
         view_idx = np.zeros((cap, Vm), np.int32)
         uv = np.zeros((cap, Vm, 2), np.float32)
         vmask = np.zeros((cap, Vm), bool)
