@@ -187,6 +187,10 @@ class IncrementalEngine:
         self.n_registered = 0
         self.barred = np.zeros(self.V, bool)  # views that failed registration
         self.log: list[str] = []
+        cap = 64
+        while cap < max(self.T, 1):
+            cap *= 2
+        self._tri_cap = cap  # fixed triangulation batch shape for the run
 
         # Pairwise correspondence counts from shared tracks.
         self._pair_counts = self._count_shared_tracks()
@@ -383,11 +387,14 @@ class IncrementalEngine:
         # backend pays a full compile for every new shape, so at most
         # log2(T) shapes ever compile (round-1 profiling: per-call varying
         # shapes cost seconds each on the axon tunnel).
-        # Coarse buckets (x4) keep the number of distinct compiled shapes
-        # tiny — on the remote-compile backend every new shape costs seconds.
-        cap = 64
-        while cap < Tb:
-            cap *= 4
+        # One fixed capacity for every call (total track count rounded up):
+        # a single compiled shape serves the whole run and every rerun — on
+        # the remote-compile backend each new shape costs seconds, and the
+        # kernel is bandwidth-trivial so the padding is free.
+        cap = self._tri_cap
+        if Tb > cap:  # cannot happen (Tb <= total tracks), but stay safe
+            while cap < Tb:
+                cap *= 2
         view_idx = np.zeros((cap, Vm), np.int32)
         uv = np.zeros((cap, Vm, 2), np.float32)
         vmask = np.zeros((cap, Vm), bool)
