@@ -29,8 +29,6 @@ def _add_cfg_args(p: argparse.ArgumentParser):
 
 
 def _make_cfg(args):
-    import dataclasses
-
     from tpusfm.features import sift
     from tpusfm.pipeline.config import MatchingConfig, PipelineConfig
 

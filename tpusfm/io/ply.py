@@ -12,7 +12,6 @@ kept for parity/debugging.  A minimal reader handles both for round-tripping.
 
 from __future__ import annotations
 
-import struct as _struct
 from pathlib import Path
 
 import numpy as np

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401  (re-exported: callers import the trio from here)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:

@@ -37,7 +37,7 @@ import numpy as np
 from ..ba import bundle_adjust as ba
 from ..core import lie
 from . import incremental as inc_mod
-from .scene import Scene, empty_scene
+from .scene import Scene
 
 
 @dataclasses.dataclass(frozen=True)
