@@ -335,7 +335,15 @@ def _descriptor_one(mag, ang, x, y, sigma, theta, cfg: SiftConfig):
     wo = _soft_bin_circular(rel / (2.0 * np.pi) * NBO, NBO)  # (G, G, 8)
     wx = _soft_bin_linear(nx + (NBP - 1) / 2.0, NBP)  # (G, G, 4)
     wy = _soft_bin_linear(ny + (NBP - 1) / 2.0, NBP)
-    desc = jnp.einsum("gh,ghy,ghx,gho->yxo", m * wgt, wy, wx, wo)
+    # Two-step contraction: spatial weights -> (S, 16), then ONE (16, S) @
+    # (S, 8) matmul per keypoint.  (The naive 4-operand einsum let XLA pick
+    # a contraction order with large per-keypoint intermediates — this form
+    # is a clean MXU batched matmul under vmap.)
+    S = G * G
+    wxy = (wy[..., :, None] * wx[..., None, :]).reshape(S, NBP * NBP)  # (S, 16)
+    weighted = wxy * (m * wgt).reshape(S, 1)
+    desc = jnp.dot(weighted.T, wo.reshape(S, NBO),
+                   preferred_element_type=jnp.float32)  # (16, 8)
     d = desc.reshape(-1)
     # Normalize -> clip 0.2 -> renormalize (sift.c:2054-2069).
     d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
