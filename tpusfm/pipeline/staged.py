@@ -242,6 +242,14 @@ class StagedPipeline:
                 d["depths"], d["valid"], d["K"], d["R"], d["t"],
                 rgb_images=rgb, progress=self.progress,
             )
+            if len(faces):
+                # ~ TextureMesh (main.cpp:188-189): OBJ + MTL + atlas PNG.
+                from ..dense import texturing
+
+                texturing.texture_mesh(
+                    self.ws, verts, faces, d["depths"], d["valid"],
+                    d["K"], d["R"], d["t"], rgb, progress=self.progress,
+                )
         else:
             xyz, pc_rgb = ply.read_ply_points(self.ws / "dense.ply")
             verts, faces, vcols = meshing.reconstruct_mesh(
