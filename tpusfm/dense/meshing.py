@@ -249,6 +249,61 @@ def mesh_from_depths(depths, valid, K, R, t, rgb_images=None,
     return verts, faces, colors
 
 
+def refine_mesh(verts, faces, depths, valid, K, R, t, iters: int = 10,
+                step: float = 0.5, smooth: float = 0.3, tol: float = 0.08):
+    """Mesh refinement against the depth maps (parity-lite with OpenMVS
+    ``RefineMesh``, main.cpp:184-185): each iteration pulls every vertex
+    along its viewing rays toward the median observed depth in the views
+    that see it (depth-consistent only), then applies umbrella Laplacian
+    smoothing.  Numpy host-side (meshes are small next to the image work).
+
+    Returns refined verts (V, 3)."""
+    verts = np.asarray(verts, np.float64).copy()
+    faces = np.asarray(faces)
+    depths = np.asarray(depths) * np.asarray(valid)
+    Vn, Hh, Ww = depths.shape
+
+    # Vertex adjacency (umbrella operator) from face edges.
+    nbr_sum_idx = np.concatenate([
+        faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]],
+        faces[:, [1, 0]], faces[:, [2, 1]], faces[:, [0, 2]],
+    ])
+    for _ in range(iters):
+        # Data term: move toward observed depths.
+        target = np.zeros_like(verts)
+        weight = np.zeros(len(verts))
+        for v in range(Vn):
+            C = -R[v].T @ t[v]
+            Xc = verts @ R[v].T + t[v]
+            z = Xc[:, 2]
+            u = Xc[:, 0] / np.maximum(z, 1e-9) * K[0, 0] + K[0, 2]
+            w_ = Xc[:, 1] / np.maximum(z, 1e-9) * K[1, 1] + K[1, 2]
+            ui = np.round(u).astype(int)
+            vi = np.round(w_).astype(int)
+            inb = (z > 0) & (ui >= 0) & (ui < Ww) & (vi >= 0) & (vi < Hh)
+            d = np.zeros(len(verts))
+            d[inb] = depths[v][vi[inb], ui[inb]]
+            ok = inb & (d > 0) & (np.abs(d - z) < tol * np.maximum(z, 1e-9))
+            # Move along the ray to the observed depth.
+            ray = verts - C
+            scale = np.ones(len(verts))
+            scale[ok] = d[ok] / np.maximum(z[ok], 1e-9)
+            tgt = C + ray * scale[:, None]
+            target[ok] += tgt[ok]
+            weight[ok] += 1.0
+        has = weight > 0
+        data_pt = np.where(has[:, None], target / np.maximum(weight[:, None], 1), verts)
+        verts = verts + step * (data_pt - verts)
+        # Smoothness: umbrella Laplacian.
+        nb_sum = np.zeros_like(verts)
+        nb_cnt = np.zeros(len(verts))
+        np.add.at(nb_sum, nbr_sum_idx[:, 0], verts[nbr_sum_idx[:, 1]])
+        np.add.at(nb_cnt, nbr_sum_idx[:, 0], 1.0)
+        mean_nb = nb_sum / np.maximum(nb_cnt[:, None], 1)
+        verts = verts + smooth * (mean_nb - verts) * (nb_cnt > 0)[:, None]
+    return verts.astype(np.float32)
+
+
 def reconstruct_mesh(xyz, rgb, cfg: MeshConfig = MeshConfig(), progress=None):
     """Fallback meshing straight from a fused point cloud (no depth maps):
     point-splat occupancy -> pseudo-SDF -> marching tetrahedra.  Used when

@@ -243,6 +243,12 @@ class StagedPipeline:
                 rgb_images=rgb, progress=self.progress,
             )
             if len(faces):
+                # ~ RefineMesh (main.cpp:184-185): fit vertices to the
+                # verified depth maps + Laplacian smoothing.
+                verts = meshing.refine_mesh(
+                    verts, faces, d["depths"], d["valid"], d["K"], d["R"], d["t"]
+                )
+            if len(faces):
                 # ~ TextureMesh (main.cpp:188-189): OBJ + MTL + atlas PNG.
                 from ..dense import texturing
 
