@@ -17,12 +17,12 @@ parity with vlfeat):
 - Subpixel refinement is a fixed 4-step re-centering loop + final 3x3 solve
   (vlfeat runs at most 5 data-dependent iterations).
 - Orientation histograms and descriptors avoid scatter entirely: gradients
-  are gathered on a fixed sample grid per keypoint and soft-binned with
-  small einsums (MXU-friendly), instead of vlfeat's per-pixel trilinear
-  scatter accumulation.
-- Only the dominant orientation is emitted per keypoint (vlfeat emits up to
-  4 peaks >= 80% of max; multi-orientation duplication is a capacity x4 cost
-  — tracked as a config flag for a later round).
+  are gathered on a fixed sample grid per keypoint (the pyramid-level index
+  fused into the gather — slicing a per-keypoint map costs ~1s/1k kps on
+  TPU) and soft-binned with MXU matmuls, instead of vlfeat's per-pixel
+  trilinear scatter accumulation.
+- Up to ``n_orientations`` peaks per keypoint (80%-of-max rule like
+  vlfeat's 4-peak emission); default 1 keeps capacity flat.
 
 Output coordinates are in input-image pixels (x right, y down), sigma in
 input-pixel units, angle in radians.
@@ -263,11 +263,12 @@ def _soft_bin_linear(fbin: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(fbin[..., None] - centers))
 
 
-def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, x, y, sigma, cfg: SiftConfig):
+def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, lvl, x, y, sigma, cfg: SiftConfig):
     """Orientation peaks for one keypoint (vl/sift.c:1570-1703): returns
     (thetas (n_orientations,), ori_mask (n_orientations,)) — the dominant
     peak plus secondary local maxima >= 80% of it.
-    mag/ang: (H, W) of the keypoint's pyramid level."""
+    mag/ang: (L, H, W) gradient stacks; lvl selects the keypoint's level
+    inside the gather (never slicing out a per-keypoint map)."""
     G = cfg.orient_grid
     win_r = 3.0 * 1.5 * sigma  # vlfeat window radius
     lin = jnp.linspace(-1.0, 1.0, G)
@@ -275,8 +276,8 @@ def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, x, y, sigma, cfg: SiftC
     dv = lin[:, None] * win_r
     ys = y + dv
     xs = x + du
-    m = imops.bilinear_sample(mag, ys, xs)
-    a = imops.bilinear_sample(ang, ys, xs)
+    m = imops.bilinear_sample_level(mag, lvl, ys, xs)
+    a = imops.bilinear_sample_level(ang, lvl, ys, xs)
     r2 = (du / jnp.maximum(win_r, 1e-6)) ** 2 + (dv / jnp.maximum(win_r, 1e-6)) ** 2
     wgt = jnp.exp(-r2 * (win_r ** 2) / (2.0 * (1.5 * sigma) ** 2)) * (r2 <= 1.0)
     fbin = a / (2.0 * np.pi) * cfg.orient_bins
@@ -313,10 +314,11 @@ def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, x, y, sigma, cfg: SiftC
     return jnp.stack(thetas), jnp.stack(masks)
 
 
-def _descriptor_one(mag, ang, x, y, sigma, theta, cfg: SiftConfig):
+def _descriptor_one(mag, ang, lvl, x, y, sigma, theta, cfg: SiftConfig):
     """128-D descriptor for one keypoint (vl/sift.c:1931-2080), sampled on a
     fixed GxG grid in the rotated keypoint frame and soft-binned into
-    4 x 4 x 8 with an einsum instead of trilinear scatter."""
+    4 x 4 x 8 via MXU matmuls instead of trilinear scatter.  mag/ang are
+    (L, H, W) stacks with the level inside the gather."""
     NBP, NBO = 4, 8
     G = cfg.desc_grid
     sbp = cfg.magnif * sigma  # spatial bin size in pixels
@@ -327,8 +329,8 @@ def _descriptor_one(mag, ang, x, y, sigma, theta, cfg: SiftConfig):
     ct, st = jnp.cos(theta), jnp.sin(theta)
     xs = x + (ct * nx - st * ny) * sbp
     ys = y + (st * nx + ct * ny) * sbp
-    m = imops.bilinear_sample(mag, ys, xs)
-    a = imops.bilinear_sample(ang, ys, xs)
+    m = imops.bilinear_sample_level(mag, lvl, ys, xs)
+    a = imops.bilinear_sample_level(ang, lvl, ys, xs)
     # Gaussian window over the descriptor support (sigma_win = NBP/2 bins).
     wgt = jnp.exp(-(nx ** 2 + ny ** 2) / (2.0 * (NBP / 2.0) ** 2))
     rel = jnp.mod(a - theta, 2.0 * np.pi)
@@ -378,12 +380,10 @@ def _detect_octave(oct_data, octave_idx: int, cfg: SiftConfig):
     mag, ang = imops.gradients(levels)
 
     def per_kp(mag_l, ang_l, x, y, s_cont, s_idx):
-        m = mag_l[s_idx]  # dynamic level gather
-        a = ang_l[s_idx]
         sigma_oct = cfg.sigma0 * 2.0 ** (s_cont / S)
-        thetas, ori_mask = _orientation_one(m, a, x, y, sigma_oct, cfg)
+        thetas, ori_mask = _orientation_one(mag_l, ang_l, s_idx, x, y, sigma_oct, cfg)
         descs = jax.vmap(
-            lambda th: _descriptor_one(m, a, x, y, sigma_oct, th, cfg)
+            lambda th: _descriptor_one(mag_l, ang_l, s_idx, x, y, sigma_oct, th, cfg)
         )(thetas)
         return thetas, ori_mask, descs, sigma_oct
 
