@@ -168,17 +168,29 @@ class IncrementalEngine:
         self.T = int(n_tracks)
         self.progress = progress or (lambda *a, **k: None)
 
-        # Preallocated observation table: one row per (view, feat) with a track.
+        # Preallocated observation table: one row per (view, feat) with a
+        # track, padded to a power-of-two capacity so the BA obs-table shape
+        # (and thus its compilation) is independent of the exact match set —
+        # rerunning on slightly different data reuses every kernel.
         vs, fs = np.nonzero(self.track_ids >= 0)
-        self.obs_cam = vs.astype(np.int32)
-        self.obs_pt = self.track_ids[vs, fs].astype(np.int32)
-        self.obs_uv = self.kp[vs, fs]
-        self.O = len(self.obs_cam)
+        n_real = len(vs)
+        cap = 1024
+        while cap < n_real:
+            cap *= 2
+        self.obs_cam = np.zeros(cap, np.int32)
+        self.obs_pt = np.zeros(cap, np.int32)
+        self.obs_uv = np.zeros((cap, 2), np.float32)
+        self.obs_cam[:n_real] = vs
+        self.obs_pt[:n_real] = self.track_ids[vs, fs]
+        self.obs_uv[:n_real] = self.kp[vs, fs]
+        self.O = cap
+        self._obs_real = np.zeros(cap, bool)
+        self._obs_real[:n_real] = True
 
         # Mutable reconstruction state (host).
         self.registered = np.zeros(self.V, bool)
         self.point_active = np.zeros(max(self.T, 1), bool)
-        self.obs_ok = np.ones(self.O, bool)       # not washed out
+        self.obs_ok = self._obs_real.copy()       # not washed out (padding off)
         self.obs_inlier = np.zeros(self.O, bool)  # passes current gating
         self.aa = np.zeros((self.V, 3), np.float32)
         self.t = np.zeros((self.V, 3), np.float32)
@@ -200,10 +212,10 @@ class IncrementalEngine:
     def _count_shared_tracks(self):
         """(V, V) number of shared tracks between view pairs — one
         incidence-matrix product instead of per-track Python loops."""
-        if self.O == 0:
+        if not self._obs_real.any():
             return np.zeros((self.V, self.V), np.int32)
         inc = np.zeros((max(self.T, 1), self.V), np.int32)
-        inc[self.obs_pt, self.obs_cam] = 1
+        inc[self.obs_pt[self._obs_real], self.obs_cam[self._obs_real]] = 1
         counts = inc.T @ inc
         np.fill_diagonal(counts, 0)
         return counts.astype(np.int32)
