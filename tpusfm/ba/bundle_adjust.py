@@ -41,7 +41,10 @@ class BAConfig:
     huber_delta: float = 4.0       # px (BundleAdjuster.h:109)
     refine_intrinsics: bool = False  # ADJUST_ALL parity (sparseBuilder.cpp:1292)
     cg_iters: int = 50
-    cg_tol: float = 1e-6
+    cg_tol: float = 1e-2       # inexact Newton: CG only needs a descent
+                               # direction — LM's accept/reject guards
+                               # quality, and each saved CG iteration is a
+                               # full gather/scatter pass over the obs table
     lambda_init: float = 1e-4
     lambda_up: float = 4.0
     lambda_down: float = 0.5
