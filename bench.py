@@ -106,7 +106,7 @@ def main():
         "sift.max_features": n_feat,
         "matching.pair_chunk": 16 if small else 32,
         "filter.max_iterations": 128 if small else 256,
-        "feature_batch": 4,
+        "feature_batch": 10,
     })
 
     # Warmup: full run to compile every kernel at the bench shapes.
