@@ -45,7 +45,7 @@ class IncrementalConfig:
     ransac_iters: int = 512
     pnp_iters: int = 256
     max_views_per_track: int = 6        # N-view triangulation capacity
-    ba_every: int = 3                   # global BA every k registrations
+    ba_every: int = 4                   # global BA every k registrations
     final_ba_iters: int = 25
     step_ba_iters: int = 8
     ba: ba.BAConfig = dataclasses.field(
@@ -174,9 +174,9 @@ class IncrementalEngine:
         # rerunning on slightly different data reuses every kernel.
         vs, fs = np.nonzero(self.track_ids >= 0)
         n_real = len(vs)
-        cap = 1024
-        while cap < n_real:
-            cap *= 2
+        # Multiple-of-8k padding: shape-stable across reruns of similar
+        # datasets without the up-to-2x obs overhead of power-of-two pads.
+        cap = max(8192 * ((n_real + 8191) // 8192), 1024)
         self.obs_cam = np.zeros(cap, np.int32)
         self.obs_pt = np.zeros(cap, np.int32)
         self.obs_uv = np.zeros((cap, 2), np.float32)
