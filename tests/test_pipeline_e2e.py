@@ -45,3 +45,26 @@ def test_sparse_pipeline_end_to_end(small_cfg):
     # Colorization produced non-trivial colors for active points.
     cols = np.asarray(scene.colors)[np.asarray(scene.point_mask)]
     assert cols.std() > 1.0
+
+
+def test_essential_filter_model(small_cfg):
+    """Model 'e' (essential-manifold filter with intrinsics) keeps the
+    well-conditioned adjacent pairs (parity: ESSENTIAL_MATRIX option)."""
+    import dataclasses
+    import numpy as np
+    from tpusfm.pipeline import sparse as sp
+    from tpusfm.pipeline.config import GeometricFilterConfig
+
+    images, gt = render_orbit_images(
+        n_views=5, img_h=240, img_w=320, focal=0.9 * 320, arc_deg=45.0, seed=2
+    )
+    cfg = dataclasses.replace(small_cfg, filter=GeometricFilterConfig(model="e", max_iterations=128))
+    feats = sp.detect_features(images, cfg)
+    pl = sp.generate_pairs(5, cfg)
+    mi, mv = sp.match_pairs(feats, pl, cfg)
+    intr = np.tile(gt["intr"], (5, 1))
+    _, mv_e, ok = sp.filter_pairs(feats, pl, mi, mv, cfg, intr=intr)
+    assert ok.sum() >= 4, f"adjacent pairs should survive the E filter: {mv_e.sum(1)}"
+    # Without intrinsics the model silently degrades to F and still works.
+    _, _, ok_f = sp.filter_pairs(feats, pl, mi, mv, cfg, intr=None)
+    assert ok_f.sum() >= 4

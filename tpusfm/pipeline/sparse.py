@@ -113,12 +113,11 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
 
 @partial(jax.jit, static_argnames=("model", "n_iters"))
 def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh):
-    """Vmapped robust model fit over a chunk of pairs."""
+    """Vmapped robust model fit over a chunk of pairs (pixel-space F/H)."""
     if model == "h":
         solver, scorer = homography.homography_dlt, homography.homography_transfer_error
         sample = 4
-    else:  # 'f' (the 'e' pixel-space variant uses F too; E-specific pruning
-        # happens via the inlier ratio below, parity .cpp:1196-1212)
+    else:  # 'f'
         solver, scorer = epipolar.fundamental_8pt, epipolar.sampson_error
         sample = 8
 
@@ -132,13 +131,39 @@ def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh):
     return inl, n_inl
 
 
+@partial(jax.jit, static_argnames=("n_iters",))
+def _filter_chunk_essential(keys, x0, x1, valid, intr_a, intr_b, n_iters: int, thresh_px):
+    """Essential-model geometric filter ('e', ESSENTIAL_MATRIX parity,
+    sparseBuilder.cpp:1188-1212): correspondences are normalized with each
+    view's intrinsics and scored on the essential manifold."""
+    from ..core import camera as cam_mod
+
+    def one(key, a, b, v, ia, ib):
+        an = cam_mod.pixel_to_normal(ia, a)
+        bn = cam_mod.pixel_to_normal(ib, b)
+        f_mean = 0.25 * (ia[0] + ia[1] + ib[0] + ib[1])
+        return ransac_mod.ransac(
+            key, an, bn, v,
+            solver=epipolar.essential_8pt, scorer=epipolar.sampson_error,
+            sample_size=8, n_iters=n_iters, inlier_thresh=thresh_px / f_mean,
+        )
+
+    model_out, inl, n_inl = jax.vmap(one)(keys, x0, x1, valid, intr_a, intr_b)
+    return inl, n_inl
+
+
 def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
-                 cfg: PipelineConfig, key=None, progress=_noop_progress):
+                 cfg: PipelineConfig, key=None, progress=_noop_progress,
+                 intr=None):
     """Geometric verification per pair (parity: filter(), .cpp:1025-1281).
     Prunes matches to RANSAC inliers; drops pairs with < min_matches or
-    < min_inlier_ratio support."""
+    < min_inlier_ratio support.  Model 'e' needs per-view intrinsics
+    (falls back to 'f' without them)."""
     if cfg.filter.model == "none":
         return match_idx, match_valid, np.ones(len(pair_list), bool)
+    model = cfg.filter.model
+    if model == "e" and intr is None:
+        model = "f"
     key = jax.random.PRNGKey(0) if key is None else key
     P = len(pair_list)
     N = feats.kp.shape[1]
@@ -162,10 +187,18 @@ def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
         )
         key, k = jax.random.split(key)
         keys = jax.random.split(k, ch)
-        inl, n_inl = _filter_chunk(
-            keys, x0, x1, jnp.asarray(mv), cfg.filter.model,
-            cfg.filter.max_iterations, cfg.filter.thresh_px,
-        )
+        if model == "e":
+            intr_np = np.asarray(intr, np.float32)
+            inl, n_inl = _filter_chunk_essential(
+                keys, x0, x1, jnp.asarray(mv),
+                jnp.asarray(intr_np[pl_pad[:, 0]]), jnp.asarray(intr_np[pl_pad[:, 1]]),
+                cfg.filter.max_iterations, cfg.filter.thresh_px,
+            )
+        else:
+            inl, n_inl = _filter_chunk(
+                keys, x0, x1, jnp.asarray(mv), model,
+                cfg.filter.max_iterations, cfg.filter.thresh_px,
+            )
         out_valid[s : s + n] = np.asarray(inl)[:n] & mv[:n]
         progress("filtering", min(1.0, (s + ch) / P))
     n_put = match_valid.sum(axis=1)
@@ -224,7 +257,7 @@ def run_sparse(images, intr, cfg: PipelineConfig = PipelineConfig(), key=None,
 
     t2 = time.time()
     match_idx, match_valid, pair_ok = filter_pairs(
-        feats, pair_list, match_idx, match_valid, cfg, key, progress
+        feats, pair_list, match_idx, match_valid, cfg, key, progress, intr=intr
     )
     times["filtering"] = time.time() - t2
 

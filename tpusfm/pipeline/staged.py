@@ -150,7 +150,7 @@ class StagedPipeline:
             pair_list, mi, mv, pair_ok = d["pairs"], d["idx"], d["valid"], d["pair_ok"]
         else:
             key, k = jax.random.split(key)
-            mi, mv, pair_ok = sp.filter_pairs(feats, pair_list, mi, mv, self.cfg, k, self.progress)
+            mi, mv, pair_ok = sp.filter_pairs(feats, pair_list, mi, mv, self.cfg, k, self.progress, intr=intr)
             np.savez_compressed(self.ws / "matches_geometric.npz",
                                 pairs=pair_list, idx=mi, valid=mv, pair_ok=pair_ok)
             # Diagnostics parity (.cpp:1249-1269).
