@@ -279,12 +279,10 @@ class IncrementalEngine:
         f = float(self.intr[cand[0][0], 0])
         key, k = jax.random.split(key)
         keys = jax.random.split(k, nc)
-        R_b, t_b, X_b, good_b, n_inl_b, ang_b = _init_pairs_batched(
+        R_b, t_b, X_b, good_b, n_inl_b, ang_b = jax.device_get(_init_pairs_batched(
             keys, jnp.stack(x0s), jnp.stack(x1s), jnp.stack(valids),
             cfg.ransac_iters, cfg.essential_thresh_px / f,
-        )
-        good_b = np.asarray(good_b)
-        ang_b = np.asarray(ang_b)
+        ))
         best = None
         for ci, (i, j, tr) in enumerate(cand):
             good_np = good_b[ci][: len(tr)]
@@ -297,10 +295,7 @@ class IncrementalEngine:
                 continue
             score = n_good * min(med_ang, 20.0)
             if best is None or score > best[0]:
-                best = (
-                    score, i, j, np.asarray(R_b[ci]), np.asarray(t_b[ci]),
-                    np.asarray(X_b[ci]), good_np, tr,
-                )
+                best = (score, i, j, R_b[ci], t_b[ci], X_b[ci], good_np, tr)
         if best is None:
             raise RuntimeError("no valid initial pair (scene too degenerate)")
         return best[1:], key
@@ -360,18 +355,21 @@ class IncrementalEngine:
         valid[:m] = True
         f = float(self.intr[v, 0])
         key, k = jax.random.split(key)
-        aa, t, inl, n_inl = pnp_mod.pnp_ransac(
+        out = pnp_mod.pnp_ransac(
             k, jnp.asarray(X), jnp.asarray(xn), jnp.asarray(valid),
             n_iters=cfg.pnp_iters, thresh_norm=cfg.pnp_thresh_px / f,
         )
+        # One batched host readback (each separate sync costs a full tunnel
+        # round-trip on the remote backend).
+        aa, t, inl, n_inl = jax.device_get(out)
         n_inl = int(n_inl)
         if n_inl < cfg.min_pnp_inliers:
             self.log.append(f"view {v}: dropped ({n_inl} PnP inliers < {cfg.min_pnp_inliers})")
             return False, key
         self.registered[v] = True
-        self.aa[v] = np.asarray(aa)
-        self.t[v] = np.asarray(t)
-        inl_np = np.asarray(inl)[:m]
+        self.aa[v] = aa
+        self.t[v] = t
+        inl_np = inl[:m]
         self.obs_inlier[rows[:m][inl_np]] = True
         self.n_registered += 1
         self.log.append(f"view {v}: registered with {n_inl} PnP inliers")
@@ -422,14 +420,14 @@ class IncrementalEngine:
         view_idx[g, p_] = self.obs_cam[rr]
         uv[g, p_] = self.obs_uv[rr]
         vmask[g, p_] = True
-        X, max_err, angle = _triangulate_tracks_kernel(
+        X, max_err, angle = jax.device_get(_triangulate_tracks_kernel(
             jnp.asarray(self.aa), jnp.asarray(self.t), jnp.asarray(self.intr),
             jnp.asarray(view_idx), jnp.asarray(uv), jnp.asarray(vmask), Vm,
-        )
-        X = np.asarray(X)[:Tb]
+        ))
+        X = X[:Tb]
         ok = (
-            (np.asarray(max_err)[:Tb] < cfg.reproj_outlier_px)
-            & (np.asarray(angle)[:Tb] > cfg.min_tri_angle_deg)
+            (max_err[:Tb] < cfg.reproj_outlier_px)
+            & (angle[:Tb] > cfg.min_tri_angle_deg)
             & np.isfinite(X).all(axis=-1)
         )
         new_tracks = uniq[ok]
@@ -462,10 +460,10 @@ class IncrementalEngine:
         free = self.registered.copy()
         free[self.gauge_cam] = False
         args = self._scene_arrays()
-        intr, rot, t, pts, info = ba.bundle_adjust(
+        intr, rot, t, pts, info = jax.device_get(ba.bundle_adjust(
             cfg=cfg, cam_free_mask=jnp.asarray(free), **args
-        )
-        # np.array (copy): device buffers are read-only as numpy views.
+        ))
+        # device_get copies: one batched host readback per BA call.
         self.aa = np.array(rot)
         self.t = np.array(t)
         self.points = np.array(pts)
