@@ -33,6 +33,10 @@ class GeometricFilterConfig:
     max_iterations: int = 256          # reference runs up to 2048 (.cpp:1040)
     min_matches: int = 50              # pair prune (.cpp:1204)
     min_inlier_ratio: float = 0.3      # E-variant prune (.cpp:1196-1212)
+    # Minimal-sample hypotheses (7-point F / 5-point E, multi-root) instead
+    # of the 8-point: cleaner samples under contamination, like OpenMVG's
+    # AC-RANSAC kernels; costlier per hypothesis.
+    minimal_solver: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -111,12 +111,20 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
     return idx_out, valid_out
 
 
-@partial(jax.jit, static_argnames=("model", "n_iters"))
-def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh):
-    """Vmapped robust model fit over a chunk of pairs (pixel-space F/H)."""
+@partial(jax.jit, static_argnames=("model", "n_iters", "minimal"))
+def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh,
+                  minimal: bool = False):
+    """Vmapped robust model fit over a chunk of pairs (pixel-space F/H).
+    minimal=True uses the 7-point minimal solver for 'f' (3 roots per
+    sample, 8-point refit) — OpenMVG's AC-RANSAC samples 7-point too."""
+    extra = {}
     if model == "h":
         solver, scorer = homography.homography_dlt, homography.homography_transfer_error
         sample = 4
+    elif minimal:  # 'f' minimal
+        solver, scorer = epipolar.fundamental_7pt, epipolar.sampson_error
+        sample = 7
+        extra = dict(n_candidates=3, refit_solver=epipolar.fundamental_8pt)
     else:  # 'f'
         solver, scorer = epipolar.fundamental_8pt, epipolar.sampson_error
         sample = 8
@@ -125,18 +133,27 @@ def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh):
         return ransac_mod.ransac(
             key, a, b, v, solver=solver, scorer=scorer,
             sample_size=sample, n_iters=n_iters, inlier_thresh=thresh,
+            **extra,
         )
 
     model_out, inl, n_inl = jax.vmap(one)(keys, x0, x1, valid)
     return inl, n_inl
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
-def _filter_chunk_essential(keys, x0, x1, valid, intr_a, intr_b, n_iters: int, thresh_px):
+@partial(jax.jit, static_argnames=("n_iters", "minimal"))
+def _filter_chunk_essential(keys, x0, x1, valid, intr_a, intr_b, n_iters: int,
+                            thresh_px, minimal: bool = False):
     """Essential-model geometric filter ('e', ESSENTIAL_MATRIX parity,
     sparseBuilder.cpp:1188-1212): correspondences are normalized with each
-    view's intrinsics and scored on the essential manifold."""
+    view's intrinsics and scored on the essential manifold.  minimal=True
+    samples Nistér 5-point hypotheses (10 roots each, 8-point refit)."""
     from ..core import camera as cam_mod
+
+    extra = {}
+    solver, sample = epipolar.essential_8pt, 8
+    if minimal:
+        solver, sample = epipolar.essential_5pt, 5
+        extra = dict(n_candidates=10, refit_solver=epipolar.essential_8pt)
 
     def one(key, a, b, v, ia, ib):
         an = cam_mod.pixel_to_normal(ia, a)
@@ -144,8 +161,9 @@ def _filter_chunk_essential(keys, x0, x1, valid, intr_a, intr_b, n_iters: int, t
         f_mean = 0.25 * (ia[0] + ia[1] + ib[0] + ib[1])
         return ransac_mod.ransac(
             key, an, bn, v,
-            solver=epipolar.essential_8pt, scorer=epipolar.sampson_error,
-            sample_size=8, n_iters=n_iters, inlier_thresh=thresh_px / f_mean,
+            solver=solver, scorer=epipolar.sampson_error,
+            sample_size=sample, n_iters=n_iters, inlier_thresh=thresh_px / f_mean,
+            **extra,
         )
 
     model_out, inl, n_inl = jax.vmap(one)(keys, x0, x1, valid, intr_a, intr_b)
@@ -193,11 +211,13 @@ def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
                 keys, x0, x1, jnp.asarray(mv),
                 jnp.asarray(intr_np[pl_pad[:, 0]]), jnp.asarray(intr_np[pl_pad[:, 1]]),
                 cfg.filter.max_iterations, cfg.filter.thresh_px,
+                cfg.filter.minimal_solver,
             )
         else:
             inl, n_inl = _filter_chunk(
                 keys, x0, x1, jnp.asarray(mv), model,
                 cfg.filter.max_iterations, cfg.filter.thresh_px,
+                cfg.filter.minimal_solver,
             )
         out_valid[s : s + n] = np.asarray(inl)[:n] & mv[:n]
         progress("filtering", min(1.0, (s + ch) / P))

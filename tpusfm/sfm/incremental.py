@@ -44,6 +44,9 @@ class IncrementalConfig:
     min_tri_angle_deg: float = 2.0
     ransac_iters: int = 512
     pnp_iters: int = 256
+    # "p3p" samples 3-point Grunert hypotheses (OpenMVG P3P-resection
+    # parity); "dlt" is the 6-point linear minimal sample.
+    pnp_minimal: str = "dlt"
     max_views_per_track: int = 6        # N-view triangulation capacity
     ba_every: int = 4                   # global BA every k registrations
     final_ba_iters: int = 25
@@ -358,6 +361,7 @@ class IncrementalEngine:
         out = pnp_mod.pnp_ransac(
             k, jnp.asarray(X), jnp.asarray(xn), jnp.asarray(valid),
             n_iters=cfg.pnp_iters, thresh_norm=cfg.pnp_thresh_px / f,
+            minimal=cfg.pnp_minimal,
         )
         # One batched host readback (each separate sync costs a full tunnel
         # round-trip on the remote backend).

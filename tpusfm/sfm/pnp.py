@@ -68,7 +68,14 @@ def pnp_reproj_error(model, X: jnp.ndarray, xn: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(z > 1e-6, err, jnp.float32(3.4e38))
 
 
-@partial(jax.jit, static_argnames=("n_iters", "refine_steps"))
+def _p3p_solver(X, xn):
+    from ..core.p3p import p3p_grunert
+
+    R, t, ok = p3p_grunert(X, xn)
+    return (R, t), ok
+
+
+@partial(jax.jit, static_argnames=("n_iters", "refine_steps", "minimal"))
 def pnp_ransac(
     key: jax.Array,
     X: jnp.ndarray,
@@ -77,23 +84,40 @@ def pnp_ransac(
     n_iters: int = 256,
     thresh_norm: float = 8.0 / 800.0,
     refine_steps: int = 10,
+    minimal: str = "dlt",
 ):
     """Robust resection. X (N, 3), xn (N, 2) normalized coords, valid (N,).
 
     Returns (aa, t, inliers, n_inliers): axis-angle + translation
     (world -> camera), inlier mask.  Threshold default mirrors the
     reference's 8 px at a nominal f = 800 (SequentialActuator.h:176).
+
+    minimal = "p3p" samples 3-point Grunert hypotheses (4 candidates each;
+    OpenMVG-resection parity) instead of the 6-point DLT — cleaner samples
+    under contamination at identical batched cost.
     """
     from .ransac import ransac
 
-    (R, t), inl, n_inl = ransac(
-        key, X, xn, valid,
-        solver=pnp_dlt,
-        scorer=pnp_reproj_error,
-        sample_size=MIN_PNP_SAMPLE,
-        n_iters=n_iters,
-        inlier_thresh=thresh_norm,
-    )
+    if minimal == "p3p":
+        (R, t), inl, n_inl = ransac(
+            key, X, xn, valid,
+            solver=_p3p_solver,
+            scorer=pnp_reproj_error,
+            sample_size=3,
+            n_iters=n_iters,
+            inlier_thresh=thresh_norm,
+            n_candidates=4,
+            refit_solver=pnp_dlt,
+        )
+    else:
+        (R, t), inl, n_inl = ransac(
+            key, X, xn, valid,
+            solver=pnp_dlt,
+            scorer=pnp_reproj_error,
+            sample_size=MIN_PNP_SAMPLE,
+            n_iters=n_iters,
+            inlier_thresh=thresh_norm,
+        )
     aa = lie.so3_log(R)
 
     # Fixed-iteration Gauss-Newton polish on inliers (substitutes the

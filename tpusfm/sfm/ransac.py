@@ -36,7 +36,10 @@ def _sample_indices(key, valid: jnp.ndarray, n_iters: int, sample_size: int):
     return idx
 
 
-@partial(jax.jit, static_argnames=("solver", "scorer", "sample_size", "n_iters", "refit"))
+@partial(jax.jit, static_argnames=(
+    "solver", "scorer", "sample_size", "n_iters", "refit", "n_candidates",
+    "refit_solver",
+))
 def ransac(
     key: jax.Array,
     x0: jnp.ndarray,
@@ -48,6 +51,8 @@ def ransac(
     n_iters: int = 512,
     inlier_thresh: float = 4.0,
     refit: bool = True,
+    n_candidates: int = 1,
+    refit_solver: Callable | None = None,
 ):
     """Generic two-array RANSAC.
 
@@ -55,21 +60,40 @@ def ransac(
     scorer(model, x0, x1) -> squared errors (..., N).
     inlier_thresh is in the scorer's units (threshold on sqrt(error)).
 
+    Multi-root minimal solvers (P3P: 4, 5-point E: 10, 7-point F: 3) set
+    n_candidates = K and return (model_tree with leading dims (I, K),
+    ok (I, K)); every candidate becomes an independent hypothesis and
+    invalid roots are disqualified from the argmax — degenerate samples
+    lose the vote rather than branching.  `refit_solver` (e.g. the
+    weighted 8-point / DLT) fits the winner's inliers when the minimal
+    solver itself has no least-squares form.
+
     Returns (model, inliers (N,) bool, n_inliers).
     """
     k1, _ = jax.random.split(key)
     idx = _sample_indices(k1, valid, n_iters, sample_size)  # (I, S)
-    models = solver(x0[idx], x1[idx])  # (I, ...)
-    errs = scorer(models, x0[None], x1[None])  # (I, N)
+    if n_candidates > 1:
+        models, ok = solver(x0[idx], x1[idx])  # tree (I, K, ...), (I, K)
+        models = jax.tree_util.tree_map(
+            lambda m: m.reshape((n_iters * n_candidates,) + m.shape[2:]), models
+        )
+        ok = ok.reshape(n_iters * n_candidates)
+    else:
+        models = solver(x0[idx], x1[idx])  # (I, ...)
+        ok = None
+    errs = scorer(models, x0[None], x1[None])  # (I[*K], N)
     t2 = inlier_thresh * inlier_thresh
     inl = (errs < t2) & valid[None]
     counts = jnp.sum(inl, axis=-1)
+    if ok is not None:
+        counts = jnp.where(ok, counts, -1)
     best = jnp.argmax(counts)
     best_model = jax.tree_util.tree_map(lambda m: m[best], models)
     best_inl = inl[best]
     if refit:
+        fit = refit_solver if refit_solver is not None else solver
         w = best_inl.astype(x0.dtype)
-        refit_model = solver(x0, x1, w)
+        refit_model = fit(x0, x1, w)
         errs_r = scorer(refit_model, x0, x1)
         inl_r = (errs_r < t2) & valid
         # Keep the refit only if it didn't lose support (guards degenerate
@@ -118,4 +142,34 @@ def ransac_homography(key, uv0, uv1, valid, n_iters=512, thresh_px=4.0):
         solver=homography.homography_dlt,
         scorer=homography.homography_transfer_error,
         sample_size=4, n_iters=n_iters, inlier_thresh=thresh_px,
+    )
+
+
+def ransac_essential_5pt(key, x0n, x1n, valid, n_iters=256, thresh_norm=4.0 / 800.0):
+    """Minimal (Nistér 5-point) essential RANSAC: each sample yields up to
+    ten hypotheses; the winner's inliers are refit with the weighted
+    8-point.  Prefer over ransac_essential when outlier rates are high —
+    5-point samples are clean far more often than 8-point ones."""
+    from ..core import epipolar
+
+    return ransac(
+        key, x0n, x1n, valid,
+        solver=epipolar.essential_5pt,
+        scorer=epipolar.sampson_error,
+        sample_size=5, n_iters=n_iters, inlier_thresh=thresh_norm,
+        n_candidates=10, refit_solver=epipolar.essential_8pt,
+    )
+
+
+def ransac_fundamental_7pt(key, uv0, uv1, valid, n_iters=256, thresh_px=4.0):
+    """Minimal (7-point) fundamental RANSAC; up to three hypotheses per
+    sample, weighted 8-point refit on the winner's inliers."""
+    from ..core import epipolar
+
+    return ransac(
+        key, uv0, uv1, valid,
+        solver=epipolar.fundamental_7pt,
+        scorer=epipolar.sampson_error,
+        sample_size=7, n_iters=n_iters, inlier_thresh=thresh_px,
+        n_candidates=3, refit_solver=epipolar.fundamental_8pt,
     )
