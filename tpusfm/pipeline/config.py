@@ -37,6 +37,10 @@ class GeometricFilterConfig:
     # of the 8-point: cleaner samples under contamination, like OpenMVG's
     # AC-RANSAC kernels; costlier per hypothesis.
     minimal_solver: bool = False
+    # A-contrario NFA scoring (AC-RANSAC/ORSA parity with the reference's
+    # filter, sparseBuilder.cpp:1160-1237): the inlier threshold adapts to
+    # each pair's noise level, bounded above by thresh_px.
+    adaptive: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -111,25 +111,37 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
     return idx_out, valid_out
 
 
-@partial(jax.jit, static_argnames=("model", "n_iters", "minimal"))
+@partial(jax.jit, static_argnames=("model", "n_iters", "minimal", "adaptive"))
 def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh,
-                  minimal: bool = False):
+                  minimal: bool = False, adaptive: bool = False, alpha0=1.0):
     """Vmapped robust model fit over a chunk of pairs (pixel-space F/H).
     minimal=True uses the 7-point minimal solver for 'f' (3 roots per
-    sample, 8-point refit) — OpenMVG's AC-RANSAC samples 7-point too."""
+    sample, 8-point refit) — OpenMVG's AC-RANSAC samples 7-point too.
+    adaptive=True scores by a-contrario NFA (adaptive per-pair threshold
+    bounded by `thresh`) exactly like the reference's AC-RANSAC filter."""
     extra = {}
     if model == "h":
         solver, scorer = homography.homography_dlt, homography.homography_transfer_error
         sample = 4
+        err_dim = 2
     elif minimal:  # 'f' minimal
         solver, scorer = epipolar.fundamental_7pt, epipolar.sampson_error
         sample = 7
+        err_dim = 1
         extra = dict(n_candidates=3, refit_solver=epipolar.fundamental_8pt)
     else:  # 'f'
         solver, scorer = epipolar.fundamental_8pt, epipolar.sampson_error
         sample = 8
+        err_dim = 1
 
     def one(key, a, b, v):
+        if adaptive:
+            m, inl, n_inl, _, _ = ransac_mod.ransac_ac(
+                key, a, b, v, solver=solver, scorer=scorer,
+                sample_size=sample, n_iters=n_iters, error_dim=err_dim,
+                alpha0=alpha0, max_thresh=thresh, min_thresh=1.0, **extra,
+            )
+            return m, inl, n_inl
         return ransac_mod.ransac(
             key, a, b, v, solver=solver, scorer=scorer,
             sample_size=sample, n_iters=n_iters, inlier_thresh=thresh,
@@ -140,9 +152,10 @@ def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh,
     return inl, n_inl
 
 
-@partial(jax.jit, static_argnames=("n_iters", "minimal"))
+@partial(jax.jit, static_argnames=("n_iters", "minimal", "adaptive"))
 def _filter_chunk_essential(keys, x0, x1, valid, intr_a, intr_b, n_iters: int,
-                            thresh_px, minimal: bool = False):
+                            thresh_px, minimal: bool = False,
+                            adaptive: bool = False, alpha0_px=1.0):
     """Essential-model geometric filter ('e', ESSENTIAL_MATRIX parity,
     sparseBuilder.cpp:1188-1212): correspondences are normalized with each
     view's intrinsics and scored on the essential manifold.  minimal=True
@@ -159,6 +172,17 @@ def _filter_chunk_essential(keys, x0, x1, valid, intr_a, intr_b, n_iters: int,
         an = cam_mod.pixel_to_normal(ia, a)
         bn = cam_mod.pixel_to_normal(ib, b)
         f_mean = 0.25 * (ia[0] + ia[1] + ib[0] + ib[1])
+        if adaptive:
+            # alpha0 converts to normalized units: probability density of a
+            # 1-unit point-to-line band scales by the focal length.
+            m, inl, n_inl, _, _ = ransac_mod.ransac_ac(
+                key, an, bn, v,
+                solver=solver, scorer=epipolar.sampson_error,
+                sample_size=sample, n_iters=n_iters, error_dim=1,
+                alpha0=alpha0_px * f_mean, max_thresh=thresh_px / f_mean,
+                min_thresh=1.0 / f_mean, **extra,
+            )
+            return m, inl, n_inl
         return ransac_mod.ransac(
             key, an, bn, v,
             solver=solver, scorer=epipolar.sampson_error,
@@ -172,16 +196,25 @@ def _filter_chunk_essential(keys, x0, x1, valid, intr_a, intr_b, n_iters: int,
 
 def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
                  cfg: PipelineConfig, key=None, progress=_noop_progress,
-                 intr=None):
+                 intr=None, img_hw=None):
     """Geometric verification per pair (parity: filter(), .cpp:1025-1281).
     Prunes matches to RANSAC inliers; drops pairs with < min_matches or
     < min_inlier_ratio support.  Model 'e' needs per-view intrinsics
-    (falls back to 'f' without them)."""
+    (falls back to 'f' without them).  cfg.filter.adaptive scores with
+    a-contrario NFA (AC-RANSAC parity) using img_hw for the alpha0 prior."""
     if cfg.filter.model == "none":
         return match_idx, match_valid, np.ones(len(pair_list), bool)
     model = cfg.filter.model
     if model == "e" and intr is None:
         model = "f"
+    if img_hw is None:
+        kp_np = np.asarray(feats.kp)
+        img_hw = (float(kp_np[..., 1].max()) + 1.0, float(kp_np[..., 0].max()) + 1.0)
+    area = float(img_hw[0]) * float(img_hw[1])
+    diag = float(np.hypot(img_hw[0], img_hw[1]))
+    # alpha0: probability a random point lies within 1 unit of a line
+    # (F/E models) or of a point (H) — the a-contrario background model.
+    alpha0 = (np.pi / area) if model == "h" else (2.0 * diag / area)
     key = jax.random.PRNGKey(0) if key is None else key
     P = len(pair_list)
     N = feats.kp.shape[1]
@@ -211,13 +244,13 @@ def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
                 keys, x0, x1, jnp.asarray(mv),
                 jnp.asarray(intr_np[pl_pad[:, 0]]), jnp.asarray(intr_np[pl_pad[:, 1]]),
                 cfg.filter.max_iterations, cfg.filter.thresh_px,
-                cfg.filter.minimal_solver,
+                cfg.filter.minimal_solver, cfg.filter.adaptive, alpha0,
             )
         else:
             inl, n_inl = _filter_chunk(
                 keys, x0, x1, jnp.asarray(mv), model,
                 cfg.filter.max_iterations, cfg.filter.thresh_px,
-                cfg.filter.minimal_solver,
+                cfg.filter.minimal_solver, cfg.filter.adaptive, alpha0,
             )
         out_valid[s : s + n] = np.asarray(inl)[:n] & mv[:n]
         progress("filtering", min(1.0, (s + ch) / P))
@@ -277,7 +310,8 @@ def run_sparse(images, intr, cfg: PipelineConfig = PipelineConfig(), key=None,
 
     t2 = time.time()
     match_idx, match_valid, pair_ok = filter_pairs(
-        feats, pair_list, match_idx, match_valid, cfg, key, progress, intr=intr
+        feats, pair_list, match_idx, match_valid, cfg, key, progress, intr=intr,
+        img_hw=images.shape[1:3],
     )
     times["filtering"] = time.time() - t2
 

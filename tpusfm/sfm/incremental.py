@@ -45,8 +45,11 @@ class IncrementalConfig:
     ransac_iters: int = 512
     pnp_iters: int = 256
     # "p3p" samples 3-point Grunert hypotheses (OpenMVG P3P-resection
-    # parity); "dlt" is the 6-point linear minimal sample.
-    pnp_minimal: str = "dlt"
+    # parity — the reference engine resects with P3P AC-RANSAC); "dlt" is
+    # the 6-point linear sample.  P3P default: 3-point samples survive
+    # contamination far more often (measured: registers views the 6-point
+    # DLT drops on weakly-connected scenes).
+    pnp_minimal: str = "p3p"
     max_views_per_track: int = 6        # N-view triangulation capacity
     ba_every: int = 4                   # global BA every k registrations
     final_ba_iters: int = 25

@@ -106,6 +106,130 @@ def ransac(
     return best_model, best_inl, jnp.sum(best_inl)
 
 
+@partial(jax.jit, static_argnames=(
+    "solver", "scorer", "sample_size", "n_iters", "error_dim", "refit",
+    "n_candidates", "refit_solver",
+))
+def ransac_ac(
+    key: jax.Array,
+    x0: jnp.ndarray,
+    x1: jnp.ndarray,
+    valid: jnp.ndarray,
+    solver: Callable,
+    scorer: Callable,
+    sample_size: int,
+    n_iters: int = 512,
+    error_dim: int = 1,
+    alpha0: float = 1.0,
+    max_thresh: float = 16.0,
+    min_thresh: float = 0.0,
+    refit: bool = True,
+    n_candidates: int = 1,
+    refit_solver: Callable | None = None,
+):
+    """A-contrario RANSAC (ORSA / AC-RANSAC, Moisan-Stival-Monasse) — the
+    adaptive-threshold scoring OpenMVG uses in the reference's filter()
+    (src/sparseBuilder/sparseBuilder.cpp:1160-1237).  Instead of counting
+    inliers under a fixed threshold, each hypothesis is scored by its
+    Number of False Alarms over every candidate inlier count k:
+
+        NFA(M, k) = (N - s) C(N, k) C(k, s) (alpha0 * eps_k^d)^(k - s)
+
+    with eps_k the k-th smallest error.  The (hypothesis, k) pair with the
+    smallest log-NFA wins, and eps_k* becomes the data-driven inlier
+    threshold — tight for clean pairs, loose for noisy ones, with no knob.
+
+    On TPU the whole (I, N) log-NFA surface is one batched sort + cumulative
+    expression; the reference's sequential early-exit loop dissolves.
+
+    alpha0: probability that a random correspondence has error <= 1 unit —
+    2*diag/area for point-to-epipolar-line (F/E), pi/area for point transfer
+    (H).  error_dim: 1 for line distance, 2 for point distance.
+    max_thresh bounds the adaptive threshold (units of sqrt(scorer output)).
+    min_thresh floors the *inlier-collection* threshold only (NFA model
+    selection stays pure): on near-exact data eps* can shrink below the
+    true noise floor and starve downstream stages of valid support.
+
+    Returns (model, inliers, n_inliers, log10_nfa, eps_star).
+    """
+    k1, _ = jax.random.split(key)
+    idx = _sample_indices(k1, valid, n_iters, sample_size)  # (I, S)
+    if n_candidates > 1:
+        models, ok = solver(x0[idx], x1[idx])
+        models = jax.tree_util.tree_map(
+            lambda m: m.reshape((n_iters * n_candidates,) + m.shape[2:]), models
+        )
+        ok = ok.reshape(n_iters * n_candidates)
+    else:
+        models = solver(x0[idx], x1[idx])
+        ok = None
+
+    n = x0.shape[0]
+    s = sample_size
+    n_valid = jnp.sum(valid)
+
+    def lognfa_surface(errs):
+        """errs (..., N) squared -> (log-NFA (...,), k*, eps* ) minimized
+        over k (in natural log; reported as log10)."""
+        e = jnp.sqrt(jnp.maximum(errs, 0.0))
+        e = jnp.where(valid, e, jnp.inf)
+        e_sorted = jnp.sort(e, axis=-1)  # (..., N)
+        kk = jnp.arange(1, n + 1, dtype=e.dtype)  # k = 1..N
+        nv = n_valid.astype(e.dtype)
+        # log C(nv, k) + log C(k, s) with lgamma (nv is data-dependent).
+        lgam = jax.scipy.special.gammaln
+        logC_nk = lgam(nv + 1) - lgam(kk + 1) - lgam(jnp.maximum(nv - kk, 0.0) + 1)
+        logC_ks = lgam(kk + 1) - lgam(float(s) + 1) - lgam(jnp.maximum(kk - s, 0.0) + 1)
+        log_eps = jnp.log(jnp.maximum(e_sorted, 1e-12))
+        log_nfa = (
+            jnp.log(jnp.maximum(nv - s, 1.0))
+            + logC_nk
+            + logC_ks
+            + (kk - s) * (error_dim * log_eps + jnp.log(alpha0))
+        )
+        bad = (kk <= s) | (kk > nv) | (e_sorted > max_thresh) | ~jnp.isfinite(e_sorted)
+        log_nfa = jnp.where(bad, jnp.inf, log_nfa)
+        k_star = jnp.argmin(log_nfa, axis=-1)
+        best_nfa = jnp.take_along_axis(log_nfa, k_star[..., None], axis=-1)[..., 0]
+        eps_star = jnp.take_along_axis(e_sorted, k_star[..., None], axis=-1)[..., 0]
+        return best_nfa, eps_star
+
+    errs = scorer(models, x0[None], x1[None])  # (I[*K], N)
+    nfa, eps = lognfa_surface(errs)
+    if ok is not None:
+        nfa = jnp.where(ok, nfa, jnp.inf)
+    best = jnp.argmin(nfa)
+    best_model = jax.tree_util.tree_map(lambda m: m[best], models)
+    best_eps = eps[best]
+    best_nfa = nfa[best]
+    best_errs = errs[best]
+    collect = jnp.maximum(best_eps, min_thresh)
+    best_inl = (best_errs <= collect * collect) & valid
+
+    if refit:
+        fit = refit_solver if refit_solver is not None else solver
+        w = best_inl.astype(x0.dtype)
+        refit_model = fit(x0, x1, w)
+        errs_r = scorer(refit_model, x0, x1)
+        nfa_r, eps_r = lognfa_surface(errs_r)
+        better = nfa_r <= best_nfa
+        best_model = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(better, a, b), refit_model, best_model
+        )
+        best_eps = jnp.where(better, eps_r, best_eps)
+        best_nfa = jnp.where(better, nfa_r, best_nfa)
+        errs_f = jnp.where(better, errs_r, best_errs)
+        collect = jnp.maximum(best_eps, min_thresh)
+        best_inl = (errs_f <= collect * collect) & valid
+
+    # NFA > 1 (log > 0) means the best model is not statistically
+    # meaningful — report an empty support like OpenMVG's filter prune.
+    meaningful = best_nfa <= 0.0
+    best_inl = best_inl & meaningful
+    log10_nfa = best_nfa / jnp.log(10.0)
+    return best_model, best_inl, jnp.sum(best_inl), log10_nfa, best_eps
+
+
 # ---------------------------------------------------------------------------
 # Ready-made robust estimators (capability parity with filter()'s
 # f/e/h model options, sparseBuilder.cpp:1037-1040)
