@@ -397,19 +397,21 @@ def decompose_essential(E: jnp.ndarray):
     return Rs, ts
 
 
-def recover_pose(E: jnp.ndarray, x0n: jnp.ndarray, x1n: jnp.ndarray, w: jnp.ndarray | None = None):
-    """Choose the (R, t) candidate with maximal cheirality support
-    (parity: cv::recoverPose, src/actuator/SequentialActuator.h:114).
+def pose_from_candidates(Rs: jnp.ndarray, ts: jnp.ndarray, x0n: jnp.ndarray,
+                         x1n: jnp.ndarray, w: jnp.ndarray | None = None):
+    """Choose the (R, t) candidate with maximal cheirality support among K
+    candidate motions (Rs (K, 3, 3), ts (K, 3)) — the generic core behind
+    cv::recoverPose (essential) and homography-decomposition selection.
 
-    x0n, x1n: (N, 2) normalized coords (camera 0 is identity).  Returns
-    (R, t, n_good, front_mask) where (R, t) maps camera-0 frame to camera-1.
-    """
+    Returns (R, t, n_good, front_mask, X) with camera 0 at identity."""
     from .triangulate import triangulate_two_view
 
     if w is None:
         w = jnp.ones(x0n.shape[:-1], dtype=x0n.dtype)
-    Rs, ts = decompose_essential(E)  # (4,3,3), (4,3)
-    P0 = jnp.concatenate([jnp.eye(3, dtype=E.dtype), jnp.zeros((3, 1), dtype=E.dtype)], axis=1)
+    K = Rs.shape[0]
+    P0 = jnp.concatenate(
+        [jnp.eye(3, dtype=Rs.dtype), jnp.zeros((3, 1), dtype=Rs.dtype)], axis=1
+    )
 
     def count_front(R, t):
         P1 = jnp.concatenate([R, t[:, None]], axis=1)
@@ -421,7 +423,7 @@ def recover_pose(E: jnp.ndarray, x0n: jnp.ndarray, x1n: jnp.ndarray, w: jnp.ndar
         return jnp.sum(front * w), front, X
 
     counts, fronts, Xs = [], [], []
-    for i in range(4):
+    for i in range(K):
         c, f, X = count_front(Rs[i], ts[i])
         counts.append(c)
         fronts.append(f)
@@ -433,3 +435,14 @@ def recover_pose(E: jnp.ndarray, x0n: jnp.ndarray, x1n: jnp.ndarray, w: jnp.ndar
     front = jnp.stack(fronts)[best]
     X = jnp.stack(Xs)[best]
     return R, t, counts[best], front, X
+
+
+def recover_pose(E: jnp.ndarray, x0n: jnp.ndarray, x1n: jnp.ndarray, w: jnp.ndarray | None = None):
+    """Choose the (R, t) candidate with maximal cheirality support
+    (parity: cv::recoverPose, src/actuator/SequentialActuator.h:114).
+
+    x0n, x1n: (N, 2) normalized coords (camera 0 is identity).  Returns
+    (R, t, n_good, front_mask) where (R, t) maps camera-0 frame to camera-1.
+    """
+    Rs, ts = decompose_essential(E)  # (4,3,3), (4,3)
+    return pose_from_candidates(Rs, ts, x0n, x1n, w)

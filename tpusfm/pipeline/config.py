@@ -49,9 +49,10 @@ class PipelineConfig:
     matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
     filter: GeometricFilterConfig = dataclasses.field(default_factory=GeometricFilterConfig)
     engine: IncrementalConfig = dataclasses.field(default_factory=IncrementalConfig)
-    # Engine selection (parity: ESfMEngine INCREMENTAL/GLOBAL, .cpp:195-200,
-    # 1476-1560; INCREMENTAL is the reference default, .cpp:1289).
-    engine_type: Literal["incremental", "global"] = "incremental"
+    # Engine selection (parity: ESfMEngine INCREMENTAL/GLOBAL/STELLAR,
+    # .cpp:195-200, 1476-1560; INCREMENTAL is the reference default,
+    # .cpp:1289).
+    engine_type: Literal["incremental", "global", "stellar"] = "incremental"
     focal_prior_px: float | None = None  # like the hard-coded 2905.88 (main.cpp:124)
     feature_batch: int = 8             # views per SIFT device dispatch
 

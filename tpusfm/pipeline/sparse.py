@@ -275,6 +275,13 @@ def reconstruct(feats: sift.Features, intr, pair_list, match_idx, match_valid,
             np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
             progress=progress,
         )
+    elif cfg.engine_type == "stellar":
+        from ..sfm import stellar
+
+        engine = stellar.StellarEngine(
+            np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
+            progress=progress,
+        )
     else:
         engine = incremental.IncrementalEngine(
             np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,

@@ -44,6 +44,9 @@ from .scene import Scene
 class GlobalConfig:
     ransac_iters: int = 256
     min_pair_inliers: int = 30
+    # Pairs whose median inlier parallax is below this carry no usable
+    # translation direction (rotation-dominant / planar-far regime).
+    min_pair_parallax_deg: float = 0.5
     essential_thresh_px: float = 4.0
     rot_iters: int = 40
     trans_cg_iters: int = 100
@@ -165,8 +168,13 @@ class GlobalEngine:
         self._inc = inc_mod.IncrementalEngine(kp, intr, track_ids, n_tracks,
                                               inc_mod.IncrementalConfig())
 
-    def relative_poses(self, key):
-        """Batched essential RANSAC on every view pair with shared tracks."""
+    def relative_poses(self, key, keep_structure: bool = False):
+        """Batched essential RANSAC on every view pair with shared tracks.
+
+        keep_structure=True additionally records, per edge, the inlier
+        track ids and their triangulated depths in both views' frames (at
+        the pair's unit-baseline scale) — the raw material for stellar
+        pod-scale estimation."""
         cfg = self.cfg
         inc = self._inc
         iu = np.triu_indices(self.V, 1)
@@ -179,13 +187,14 @@ class GlobalEngine:
         ch = cfg.pair_chunk
         for s in range(0, len(cand), ch):
             chunk = cand[s : s + ch]
-            x0s, x1s, valids = [], [], []
+            x0s, x1s, valids, trs = [], [], [], []
             for (i, j) in chunk:
                 uvi, uvj, tr = inc._pair_correspondences(i, j)
                 x0, x1, valid = inc._pad_pair(uvi, uvj, i, j)
                 x0s.append(x0)
                 x1s.append(x1)
                 valids.append(valid)
+                trs.append(tr)
             while len(x0s) < ch:
                 x0s.append(x0s[-1])
                 x1s.append(x1s[-1])
@@ -198,10 +207,25 @@ class GlobalEngine:
                 cfg.ransac_iters, cfg.essential_thresh_px / f,
             )
             good_b = np.asarray(good_b)
+            ang_np = np.asarray(ang_b)
+            R_np, t_np = np.asarray(R_b), np.asarray(t_b)
+            X_np = np.asarray(X_b) if keep_structure else None
             for ci, (i, j) in enumerate(chunk):
                 n_good = int(good_b[ci].sum())
-                if n_good >= cfg.min_pair_inliers:
-                    edges.append((i, j, np.asarray(R_b[ci]), np.asarray(t_b[ci]), n_good))
+                if n_good < cfg.min_pair_inliers:
+                    continue
+                med_ang = float(np.median(ang_np[ci][good_b[ci]])) if n_good else 0.0
+                if med_ang < cfg.min_pair_parallax_deg:
+                    continue
+                edge = [i, j, R_np[ci], t_np[ci], n_good]
+                if keep_structure:
+                    tr = trs[ci]
+                    good = good_b[ci][: len(tr)]
+                    X = X_np[ci][: len(tr)][good]  # frame-i points, |t| = 1
+                    z_i = X[:, 2]
+                    z_j = (X @ R_np[ci].T + t_np[ci])[:, 2]
+                    edge.append((tr[good], z_i.astype(np.float64), z_j.astype(np.float64)))
+                edges.append(tuple(edge))
             self.progress("global_pairs", min(1.0, (s + ch) / max(len(cand), 1)))
         return edges, key
 
@@ -288,10 +312,13 @@ class GlobalEngine:
         )
         self.progress("translation_averaging", 1.0)
 
-        # Install poses into the shared obs-table machinery and build
-        # structure exactly like the incremental engine's tail.
+        return self._install_and_finish(vids, Rg, np.asarray(centers))
+
+    def _install_and_finish(self, vids, Rg, C_np) -> Scene:
+        """Install global poses into the shared obs-table machinery and
+        build structure exactly like the incremental engine's tail."""
+        cfg = self.cfg
         inc = self._inc
-        C_np = np.asarray(centers)
         for k, v in enumerate(vids):
             inc.aa[v] = np.asarray(lie.so3_log(jnp.asarray(Rg[k])))
             inc.t[v] = -Rg[k] @ C_np[k]

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..ba import bundle_adjust as ba
 from ..core import camera as cam
-from ..core import epipolar, lie, triangulate
+from ..core import epipolar, homography, lie, triangulate
 from . import pnp as pnp_mod
 from . import ransac as ransac_mod
 from .scene import Scene, empty_scene
@@ -85,15 +85,51 @@ def _np_pixel_to_normal(intr: np.ndarray, uv: np.ndarray, iters: int = 8) -> np.
 # ---------------------------------------------------------------------------
 
 def _init_pair_impl(key, x0n, x1n, valid, n_iters, thresh):
-    """Essential RANSAC + pose recovery + triangulation for one candidate
-    seed pair (bootstrap parity: SequentialActuator::init, .h:85-136)."""
-    E, inl, n_inl = ransac_mod.ransac(
-        key, x0n, x1n, valid,
+    """Two-view relative pose with H/E model selection + triangulation for
+    one candidate seed pair (bootstrap parity: SequentialActuator::init,
+    .h:85-136).
+
+    Planar degeneracy handling (COLMAP-style model selection): coplanar
+    correspondences support a whole family of essential matrices, and the
+    8-point fit routinely returns a wrong-motion member with high inlier
+    count.  A homography is fitted alongside; when its support rivals the
+    essential's, the pose comes from the homography decomposition instead
+    (4 candidates, cheirality-scored).  Both models are always computed —
+    fixed shapes, no branching — and masks select the winner."""
+    kE, kH = jax.random.split(key)
+    E, inl_e, n_e = ransac_mod.ransac(
+        kE, x0n, x1n, valid,
         solver=epipolar.essential_8pt,
         scorer=epipolar.sampson_error,
         sample_size=8, n_iters=n_iters, inlier_thresh=thresh,
     )
-    R, t, n_good, front, X = epipolar.recover_pose(E, x0n, x1n, w=inl.astype(x0n.dtype))
+    R_e, t_e, ng_e, front_e, X_e = epipolar.recover_pose(E, x0n, x1n, w=inl_e.astype(x0n.dtype))
+
+    H, inl_h, n_h = ransac_mod.ransac(
+        kH, x0n, x1n, valid,
+        solver=homography.homography_dlt,
+        scorer=homography.homography_transfer_error,
+        sample_size=4, n_iters=max(n_iters // 2, 64), inlier_thresh=thresh,
+    )
+    Rs_h, ts_h, _ns_h = homography.decompose_homography(H)
+    # Unit-baseline convention like the essential path (guards pure
+    # rotation: a vanishing baseline stays vanishing and loses the
+    # parallax gates downstream).
+    tn = jnp.linalg.norm(ts_h, axis=-1, keepdims=True)
+    ts_h = ts_h / jnp.maximum(tn, 1e-6)
+    R_h, t_h, ng_h, front_h, X_h = epipolar.pose_from_candidates(
+        Rs_h, ts_h, x0n, x1n, w=inl_h.astype(x0n.dtype)
+    )
+
+    # Model selection: prefer the homography motion when its support
+    # dominates the essential's (planar / low-parallax regime).
+    planar = n_h.astype(jnp.float32) > 0.9 * n_e.astype(jnp.float32)
+    R = jnp.where(planar, R_h, R_e)
+    t = jnp.where(planar, t_h, t_e)
+    X = jnp.where(planar, X_h, X_e)
+    inl = jnp.where(planar, inl_h, inl_e)
+    front = jnp.where(planar, front_h, front_e)
+    n_inl = jnp.where(planar, n_h, n_e)
     good = inl & front
     # Per-point parallax angle of the seed cloud (for host-side scoring).
     c1 = lie.camera_center(R, t)
