@@ -24,6 +24,13 @@ class MatchingConfig:
     ratio: float = 0.8                 # NN dist ratio (.cpp:812)
     cross_check: bool = True
     pair_chunk: int = 32               # device batch of pairs per dispatch
+    # Preemptive prefilter (parity: sparseBuilder.cpp:819-820, 965-981):
+    # match only the strongest K features per view first and drop pairs
+    # below the survivor threshold — the reference's large-collection
+    # scale lever.
+    preemptive: bool = False
+    preemptive_features: int = 200     # .cpp:819 (top 200 features)
+    preemptive_min_matches: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -84,10 +84,46 @@ def _match_chunk(da, db, ma, mb, ratio, cross_check):
     return _match_chunk_xla(da, db, ma, mb, ratio, cross_check)
 
 
+def preemptive_filter_pairs(feats: sift.Features, pair_list: np.ndarray,
+                            cfg: PipelineConfig, progress=_noop_progress) -> np.ndarray:
+    """Preemptive matching prefilter (parity: the reference's preemptive
+    option, sparseBuilder.cpp:819-820, 965-981): match only the strongest
+    `preemptive_features` per view (features are already score-sorted) and
+    keep pairs with at least `preemptive_min_matches` survivors.  One
+    cheap (P, K, D) matmul pass prunes the O(V^2) pair list before full
+    matching — the reference's scale lever for large collections.
+
+    Returns keep (P,) bool."""
+    mcfg = cfg.matching
+    K = min(mcfg.preemptive_features, feats.desc.shape[1])
+    P = len(pair_list)
+    keep = np.zeros(P, bool)
+    # Larger chunks than full matching: the K-feature tiles are tiny.
+    ch = max(mcfg.pair_chunk * 4, 32)
+    desc = feats.desc[:, :K]
+    mask = feats.mask[:, :K]
+    for s in range(0, P, ch):
+        pl = pair_list[s : s + ch]
+        pl_pad = np.concatenate([pl, np.repeat(pl[:1], ch - len(pl), 0)]) if len(pl) < ch else pl
+        ia = jnp.asarray(pl_pad[:, 0])
+        ib = jnp.asarray(pl_pad[:, 1])
+        _, ok = _match_chunk_xla(
+            desc[ia], desc[ib], mask[ia], mask[ib],
+            mcfg.ratio, mcfg.cross_check,
+        )
+        counts = np.asarray(jnp.sum(ok, axis=-1))[: len(pl)]
+        keep[s : s + len(pl)] = counts >= mcfg.preemptive_min_matches
+        progress("preemptive", min(1.0, (s + ch) / P))
+    return keep
+
+
 def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig,
                 progress=_noop_progress):
     """Ratio-test matching for every pair, chunked over the pair list.
-    Returns (match_idx (P, N) int32, match_valid (P, N) bool)."""
+    Returns (match_idx (P, N) int32, match_valid (P, N) bool).
+
+    With cfg.matching.preemptive, pairs failing the strongest-K prefilter
+    are skipped entirely (their rows come back all-invalid)."""
     P = len(pair_list)
     N = feats.kp.shape[1]
     idx_out = np.zeros((P, N), np.int32)
@@ -95,8 +131,13 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
     ch = cfg.matching.pair_chunk
     desc = feats.desc
     mask = feats.mask
-    for s in range(0, P, ch):
-        pl = pair_list[s : s + ch]
+    rows = np.arange(P)
+    if cfg.matching.preemptive and P > 0:
+        keep = preemptive_filter_pairs(feats, pair_list, cfg, progress)
+        rows = rows[keep]
+    work = pair_list[rows] if len(rows) < P else pair_list
+    for s in range(0, len(work), ch):
+        pl = work[s : s + ch]
         # Pad the chunk to full size so one compiled shape serves all chunks.
         pl_pad = np.concatenate([pl, np.repeat(pl[:1], ch - len(pl), 0)]) if len(pl) < ch else pl
         ia = jnp.asarray(pl_pad[:, 0])
@@ -105,9 +146,10 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
             desc[ia], desc[ib], mask[ia], mask[ib],
             cfg.matching.ratio, cfg.matching.cross_check,
         )
-        idx_out[s : s + len(pl)] = np.asarray(idx)[: len(pl)]
-        valid_out[s : s + len(pl)] = np.asarray(ok)[: len(pl)]
-        progress("matching", min(1.0, (s + ch) / P))
+        out_rows = rows[s : s + len(pl)]
+        idx_out[out_rows] = np.asarray(idx)[: len(pl)]
+        valid_out[out_rows] = np.asarray(ok)[: len(pl)]
+        progress("matching", min(1.0, (s + ch) / max(len(work), 1)))
     return idx_out, valid_out
 
 
