@@ -415,9 +415,15 @@ def _detect_octave(oct_data, octave_idx: int, cfg: SiftConfig):
     )
 
 
-def sift_features(images: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
+def sift_features(images: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
+                  masks: jnp.ndarray | None = None) -> Features:
     """Full detector+describer over a batch: images (B, H, W) float32 in
     [0, 1] -> Features with capacity cfg.max_features per image.
+
+    masks (B, H, W), optional: keypoints on zero-mask pixels are discarded
+    BEFORE the capacity top-k, so masked regions don't consume feature
+    slots (parity: the reference's per-image feature mask,
+    sparseBuilder.cpp:701-740).
 
     The TPU equivalent of SIFT_Image_describer::Describe
     (src/nonFree/sift/SIFT_describer.hpp:126-216): one jit-able array program
@@ -428,6 +434,12 @@ def sift_features(images: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Featur
     desc = jnp.concatenate([f.desc for f in feats], axis=-2)
     score = jnp.concatenate([f.score for f in feats], axis=-1)
     mask = jnp.concatenate([f.mask for f in feats], axis=-1)
+    if masks is not None:
+        H, W = images.shape[-2:]
+        xi = jnp.clip(jnp.round(kp[..., 0]).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(kp[..., 1]).astype(jnp.int32), 0, H - 1)
+        inside = jax.vmap(lambda m, yy, xx: m[yy, xx])(masks, yi, xi)
+        mask = mask & (inside > 0)
     # Global top max_features by score.
     n = cfg.max_features
     masked_score = jnp.where(mask, score, -1.0)
@@ -443,7 +455,9 @@ def sift_features(images: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Featur
 
 
 @partial(jax.jit, static_argnums=(1,))
-def detect_and_describe(images: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> Features:
-    """Jitted entry point; accepts (B, H, W[, 3]) uint8 or float."""
+def detect_and_describe(images: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
+                        masks: jnp.ndarray | None = None) -> Features:
+    """Jitted entry point; accepts (B, H, W[, 3]) uint8 or float, plus an
+    optional (B, H, W) feature mask (nonzero = keep)."""
     gray = imops.to_grayscale(images)
-    return sift_features(gray, cfg)
+    return sift_features(gray, cfg, masks=masks)

@@ -35,15 +35,19 @@ def _noop_progress(type, progress, **kw):
     del type, progress, kw
 
 
-def detect_features(images, cfg: PipelineConfig, progress=_noop_progress) -> sift.Features:
-    """Batched SIFT over all views, chunked to bound device memory."""
+def detect_features(images, cfg: PipelineConfig, progress=_noop_progress,
+                    masks=None) -> sift.Features:
+    """Batched SIFT over all views, chunked to bound device memory.
+    masks (V, H, W), optional: nonzero = detect here (parity: the
+    reference's optional per-image feature masks, sparseBuilder.cpp:701-740)."""
     images = np.asarray(images)
     V = images.shape[0]
     out = []
     bs = cfg.feature_batch
     for i in range(0, V, bs):
         chunk = jnp.asarray(images[i : i + bs])
-        out.append(jax.device_get(sift.detect_and_describe(chunk, cfg.sift)))
+        mchunk = None if masks is None else jnp.asarray(np.asarray(masks)[i : i + bs])
+        out.append(jax.device_get(sift.detect_and_describe(chunk, cfg.sift, mchunk)))
         progress("features", min(1.0, (i + bs) / V))
     return sift.Features(
         kp=jnp.concatenate([jnp.asarray(o.kp) for o in out]),

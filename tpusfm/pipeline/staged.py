@@ -88,7 +88,24 @@ class StagedPipeline:
             self.progress("preprocessing", 1.0)
             return records
         images = im_io.load_images_gray(paths)
-        feats = sp.detect_features(images, self.cfg, self.progress)
+        # Optional feature masks (parity: sparseBuilder.cpp:706-739):
+        # a global mask.png applies to every view; a per-image
+        # <stem>_mask.png overrides it.
+        masks = None
+        global_mask = self.image_dir() / "mask.png"
+        per_image = [p.with_name(p.stem + "_mask.png") for p in paths]
+        if global_mask.exists() or any(m.exists() for m in per_image):
+            H, W = images.shape[1:3]
+            gm = None
+            if global_mask.exists():
+                gm = im_io.load_images_gray([global_mask])[0]
+            masks = np.ones((len(paths), H, W), np.float32)
+            for k, m in enumerate(per_image):
+                if m.exists():
+                    masks[k] = im_io.load_images_gray([m])[0]
+                elif gm is not None:
+                    masks[k] = gm
+        feats = sp.detect_features(images, self.cfg, self.progress, masks=masks)
         np.savez_compressed(
             self.ws / "features.npz",
             kp=np.asarray(feats.kp), desc=np.asarray(feats.desc),

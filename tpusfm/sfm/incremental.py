@@ -231,12 +231,17 @@ class IncrementalEngine:
 
         # Mutable reconstruction state (host).
         self.registered = np.zeros(self.V, bool)
-        self.point_active = np.zeros(max(self.T, 1), bool)
+        # Points capacity padded to 1k buckets: the BA/triangulation shapes
+        # must not depend on the exact track count, or each rerun with a
+        # slightly different match set recompiles bundle_adjust on the
+        # remote backend (~5 s per variant; observed two per run).
+        self._T_cap = max(1024 * ((self.T + 1023) // 1024), 1024)
+        self.point_active = np.zeros(self._T_cap, bool)
         self.obs_ok = self._obs_real.copy()       # not washed out (padding off)
         self.obs_inlier = np.zeros(self.O, bool)  # passes current gating
         self.aa = np.zeros((self.V, 3), np.float32)
         self.t = np.zeros((self.V, 3), np.float32)
-        self.points = np.zeros((max(self.T, 1), 3), np.float32)
+        self.points = np.zeros((self._T_cap, 3), np.float32)
         self.gauge_cam = 0
         self.n_registered = 0
         self.barred = np.zeros(self.V, bool)  # views that failed registration
