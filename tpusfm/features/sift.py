@@ -191,9 +191,18 @@ def _refine_one(dog: jnp.ndarray, si, yi, xi, cfg: SiftConfig):
     Returns (x, y, s_cont, value, valid)."""
     n_dog, h, w = dog.shape
     S = n_dog - 2
+    # 3x3x3 neighborhood offsets, flattened: the cube load is ONE 27-element
+    # scalar gather (slice-size-1 gathers are TPU's fast path; the
+    # dynamic_slice form this replaces serialized per keypoint and cost
+    # ~25x more on device).
+    off = jnp.stack(
+        jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2),
+                     indexing="ij"), axis=-1,
+    ).reshape(27, 3)
 
     def load_cube(s, y, x):
-        return jax.lax.dynamic_slice(dog, (s - 1, y - 1, x - 1), (3, 3, 3))
+        idx = jnp.stack([s, y, x]) + off
+        return dog[idx[:, 0], idx[:, 1], idx[:, 2]].reshape(3, 3, 3)
 
     def grad_hess(c):
         g = 0.5 * jnp.array(
@@ -266,12 +275,14 @@ def _soft_bin_linear(fbin: jnp.ndarray, n_bins: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(fbin[..., None] - centers))
 
 
-def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, lvl, x, y, sigma, cfg: SiftConfig):
+def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, lvl, x, y, sigma, cfg: SiftConfig,
+                     h_lim=None, w_lim=None):
     """Orientation peaks for one keypoint (vl/sift.c:1570-1703): returns
     (thetas (n_orientations,), ori_mask (n_orientations,)) — the dominant
     peak plus secondary local maxima >= 80% of it.
     mag/ang: (L, H, W) gradient stacks; lvl selects the keypoint's level
-    inside the gather (never slicing out a per-keypoint map)."""
+    inside the gather (never slicing out a per-keypoint map); h_lim/w_lim
+    bound the level's true extent when octaves share a padded stack."""
     G = cfg.orient_grid
     win_r = 3.0 * 1.5 * sigma  # vlfeat window radius
     lin = jnp.linspace(-1.0, 1.0, G)
@@ -279,8 +290,8 @@ def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, lvl, x, y, sigma, cfg: 
     dv = lin[:, None] * win_r
     ys = y + dv
     xs = x + du
-    m = imops.bilinear_sample_level(mag, lvl, ys, xs)
-    a = imops.bilinear_sample_level(ang, lvl, ys, xs)
+    m = imops.bilinear_sample_level(mag, lvl, ys, xs, h_lim, w_lim)
+    a = imops.bilinear_sample_level(ang, lvl, ys, xs, h_lim, w_lim)
     r2 = (du / jnp.maximum(win_r, 1e-6)) ** 2 + (dv / jnp.maximum(win_r, 1e-6)) ** 2
     wgt = jnp.exp(-r2 * (win_r ** 2) / (2.0 * (1.5 * sigma) ** 2)) * (r2 <= 1.0)
     fbin = a / (2.0 * np.pi) * cfg.orient_bins
@@ -317,7 +328,8 @@ def _orientation_one(mag: jnp.ndarray, ang: jnp.ndarray, lvl, x, y, sigma, cfg: 
     return jnp.stack(thetas), jnp.stack(masks)
 
 
-def _descriptor_one(mag, ang, lvl, x, y, sigma, theta, cfg: SiftConfig):
+def _descriptor_one(mag, ang, lvl, x, y, sigma, theta, cfg: SiftConfig,
+                    h_lim=None, w_lim=None):
     """128-D descriptor for one keypoint (vl/sift.c:1931-2080), sampled on a
     fixed GxG grid in the rotated keypoint frame and soft-binned into
     4 x 4 x 8 via MXU matmuls instead of trilinear scatter.  mag/ang are
@@ -332,8 +344,8 @@ def _descriptor_one(mag, ang, lvl, x, y, sigma, theta, cfg: SiftConfig):
     ct, st = jnp.cos(theta), jnp.sin(theta)
     xs = x + (ct * nx - st * ny) * sbp
     ys = y + (st * nx + ct * ny) * sbp
-    m = imops.bilinear_sample_level(mag, lvl, ys, xs)
-    a = imops.bilinear_sample_level(ang, lvl, ys, xs)
+    m = imops.bilinear_sample_level(mag, lvl, ys, xs, h_lim, w_lim)
+    a = imops.bilinear_sample_level(ang, lvl, ys, xs, h_lim, w_lim)
     # Gaussian window over the descriptor support (sigma_win = NBP/2 bins).
     wgt = jnp.exp(-(nx ** 2 + ny ** 2) / (2.0 * (NBP / 2.0) ** 2))
     rel = jnp.mod(a - theta, 2.0 * np.pi)
@@ -365,54 +377,18 @@ def _descriptor_one(mag, ang, lvl, x, y, sigma, theta, cfg: SiftConfig):
 # Top level
 # ---------------------------------------------------------------------------
 
-def _detect_octave(oct_data, octave_idx: int, cfg: SiftConfig):
-    """One octave: detect + refine + orient + describe. Returns per-image
-    fixed-capacity features in input-image coordinates."""
+def _detect_octave_candidates(oct_data, cfg: SiftConfig):
+    """One octave, detection only: DoG extrema -> top-K -> subpixel refine.
+    Returns per-image candidate arrays (all (B, K)) in octave coordinates."""
     dogs = oct_data["dogs"]
-    levels = oct_data["levels"]
     S = cfg.n_scales
     k = min(cfg.max_per_octave, dogs.shape[-1] * dogs.shape[-2] * S)
     score = _extrema_score(dogs, cfg)
     vals, si, yi, xi = _topk_keypoints(score, k)
-
     refine = jax.vmap(jax.vmap(partial(_refine_one, cfg=cfg), in_axes=(None, 0, 0, 0)))
     x, y, s_cont, val, valid, s_idx = refine(dogs, si, yi, xi)
-    valid = valid & (vals > 0)
-
-    # Gradients for all levels once: (B, S+3, H, W).
-    mag, ang = imops.gradients(levels)
-
-    def per_kp(mag_l, ang_l, x, y, s_cont, s_idx):
-        sigma_oct = cfg.sigma0 * 2.0 ** (s_cont / S)
-        thetas, ori_mask = _orientation_one(mag_l, ang_l, s_idx, x, y, sigma_oct, cfg)
-        descs = jax.vmap(
-            lambda th: _descriptor_one(mag_l, ang_l, s_idx, x, y, sigma_oct, th, cfg)
-        )(thetas)
-        return thetas, ori_mask, descs, sigma_oct
-
-    theta, ori_mask, desc, sigma_oct = jax.vmap(
-        jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0))
-    )(mag, ang, x, y, s_cont, s_idx)
-    # Shapes: theta/ori_mask (B, K, n_ori), desc (B, K, n_ori, 128).
-
-    scale = 2.0 ** (octave_idx + cfg.first_octave)
-    n_ori = cfg.n_orientations
-    B, K = x.shape
-
-    def tile(v):  # (B, K) -> (B, K * n_ori)
-        return jnp.repeat(v[..., None], n_ori, axis=-1).reshape(B, K * n_ori)
-
-    kp = jnp.stack(
-        [tile(x * scale), tile(y * scale), tile(sigma_oct * scale),
-         theta.reshape(B, K * n_ori)],
-        axis=-1,
-    )
-    return Features(
-        kp=kp,
-        desc=desc.reshape(B, K * n_ori, -1),
-        score=tile(jnp.abs(val)),
-        mask=tile(valid) & ori_mask.reshape(B, K * n_ori),
-    )
+    return dict(x=x, y=y, s_cont=s_cont, val=val, valid=valid & (vals > 0),
+                s_idx=s_idx)
 
 
 def sift_features(images: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
@@ -427,30 +403,112 @@ def sift_features(images: jnp.ndarray, cfg: SiftConfig = SiftConfig(),
 
     The TPU equivalent of SIFT_Image_describer::Describe
     (src/nonFree/sift/SIFT_describer.hpp:126-216): one jit-able array program
-    instead of an OpenMP loop over octaves and keypoints."""
+    instead of an OpenMP loop over octaves and keypoints.
+
+    Structure: detect candidates in every octave, select the global
+    top-``max_features`` by refined |DoG| score, and only then run the
+    gather-bound orientation/descriptor stage on the selected set.  All
+    octaves' gradient levels are zero-padded into one (L_total, H0, W0)
+    stack so one fused gather serves every octave (per-keypoint h/w limits
+    preserve edge-replicate semantics at each octave's true border) — vs.
+    describing all n_octaves*max_per_octave candidates, this cuts the
+    describe work ~n_octaves-fold."""
     octaves = build_scale_space(images, cfg)
-    feats = [_detect_octave(o, i, cfg) for i, o in enumerate(octaves)]
-    kp = jnp.concatenate([f.kp for f in feats], axis=-2)
-    desc = jnp.concatenate([f.desc for f in feats], axis=-2)
-    score = jnp.concatenate([f.score for f in feats], axis=-1)
-    mask = jnp.concatenate([f.mask for f in feats], axis=-1)
+    S = cfg.n_scales
+    L = S + 3
+    B = images.shape[0]
+    H0, W0 = octaves[0]["levels"].shape[-2:]
+    cands = [_detect_octave_candidates(o, cfg) for o in octaves]
+
+    # Concatenate candidates across octaves with their octave index.
+    def cat(field):
+        return jnp.concatenate([c[field] for c in cands], axis=-1)
+
+    x = cat("x")
+    y = cat("y")
+    s_cont = cat("s_cont")
+    val = cat("val")
+    valid = cat("valid")
+    s_idx = cat("s_idx")
+    oct_idx = jnp.concatenate(
+        [jnp.full(c["x"].shape, i, jnp.int32) for i, c in enumerate(cands)], axis=-1
+    )
+    oh = jnp.asarray([o["levels"].shape[-2] for o in octaves], jnp.int32)
+    ow = jnp.asarray([o["levels"].shape[-1] for o in octaves], jnp.int32)
+    scale = 2.0 ** (oct_idx.astype(jnp.float32) + cfg.first_octave)
+
     if masks is not None:
         H, W = images.shape[-2:]
-        xi = jnp.clip(jnp.round(kp[..., 0]).astype(jnp.int32), 0, W - 1)
-        yi = jnp.clip(jnp.round(kp[..., 1]).astype(jnp.int32), 0, H - 1)
+        xi = jnp.clip(jnp.round(x * scale).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(y * scale).astype(jnp.int32), 0, H - 1)
         inside = jax.vmap(lambda m, yy, xx: m[yy, xx])(masks, yi, xi)
-        mask = mask & (inside > 0)
-    # Global top max_features by score.
+        valid = valid & (inside > 0)
+
+    # Global top max_features BEFORE the (expensive) describe stage.
     n = cfg.max_features
-    masked_score = jnp.where(mask, score, -1.0)
+    masked_score = jnp.where(valid, jnp.abs(val), -1.0)
     if masked_score.shape[-1] > n:
-        top_score, idx = jax.lax.top_k(masked_score, n)
-        kp = jnp.take_along_axis(kp, idx[..., None], axis=-2)
-        desc = jnp.take_along_axis(desc, idx[..., None], axis=-2)
-        mask = jnp.take_along_axis(mask, idx, axis=-1)
-        score = top_score
+        score, sel = jax.lax.top_k(masked_score, n)
+        take = lambda v: jnp.take_along_axis(v, sel, axis=-1)
+        x, y, s_cont, s_idx, oct_idx, valid, scale = (
+            take(x), take(y), take(s_cont), take(s_idx), take(oct_idx),
+            take(valid), take(scale),
+        )
     else:
         score = masked_score
+
+    # One padded gradient stack for all octaves: (B, n_oct * L, H0, W0).
+    mags, angs = [], []
+    for o in octaves:
+        m, a = imops.gradients(o["levels"])
+        ph, pw = H0 - m.shape[-2], W0 - m.shape[-1]
+        pad = ((0, 0), (0, 0), (0, ph), (0, pw))
+        mags.append(jnp.pad(m, pad))
+        angs.append(jnp.pad(a, pad))
+    mag = jnp.concatenate(mags, axis=-3)
+    ang = jnp.concatenate(angs, axis=-3)
+
+    lvl = oct_idx * L + s_idx
+    h_lim = oh[oct_idx]
+    w_lim = ow[oct_idx]
+
+    def per_kp(mag_l, ang_l, x, y, s_cont, lvl, hl, wl):
+        sigma_oct = cfg.sigma0 * 2.0 ** (s_cont / S)
+        thetas, ori_mask = _orientation_one(
+            mag_l, ang_l, lvl, x, y, sigma_oct, cfg, hl, wl)
+        descs = jax.vmap(
+            lambda th: _descriptor_one(
+                mag_l, ang_l, lvl, x, y, sigma_oct, th, cfg, hl, wl)
+        )(thetas)
+        return thetas, ori_mask, descs, sigma_oct
+
+    theta, ori_mask, desc, sigma_oct = jax.vmap(
+        jax.vmap(per_kp, in_axes=(None, None, 0, 0, 0, 0, 0, 0))
+    )(mag, ang, x, y, s_cont, lvl, h_lim, w_lim)
+    # Shapes: theta/ori_mask (B, K, n_ori), desc (B, K, n_ori, 128).
+
+    n_ori = cfg.n_orientations
+    K = x.shape[-1]
+
+    def tile(v):  # (B, K) -> (B, K * n_ori)
+        return jnp.repeat(v[..., None], n_ori, axis=-1).reshape(B, K * n_ori)
+
+    kp = jnp.stack(
+        [tile(x * scale), tile(y * scale), tile(sigma_oct * scale),
+         theta.reshape(B, K * n_ori)],
+        axis=-1,
+    )
+    desc = desc.reshape(B, K * n_ori, -1)
+    score = tile(score)
+    mask = tile(valid) & ori_mask.reshape(B, K * n_ori)
+
+    # Multi-orientation overflows capacity: re-select top max_features.
+    if n_ori > 1 and kp.shape[-2] > n:
+        masked_score = jnp.where(mask, score, -1.0)
+        score, sel = jax.lax.top_k(masked_score, n)
+        kp = jnp.take_along_axis(kp, sel[..., None], axis=-2)
+        desc = jnp.take_along_axis(desc, sel[..., None], axis=-2)
+        mask = jnp.take_along_axis(mask, sel, axis=-1)
     return Features(kp=kp, desc=desc, score=score, mask=mask & (score > 0))
 
 

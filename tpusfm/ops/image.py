@@ -85,18 +85,29 @@ def bilinear_sample(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.nda
     )
 
 
-def bilinear_sample_level(vol: jnp.ndarray, lvl, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+def bilinear_sample_level(vol: jnp.ndarray, lvl, y: jnp.ndarray, x: jnp.ndarray,
+                          h_lim=None, w_lim=None) -> jnp.ndarray:
     """Bilinear gather from one level of a stack vol (L, H, W) at float
     coords y, x — the level index is part of the gather, so vmapping over
     keypoints never materializes a per-keypoint (H, W) slice (profiled at
-    ~0.8 s per 1k keypoints on TPU with the slice-then-sample form)."""
+    ~0.8 s per 1k keypoints on TPU with the slice-then-sample form).
+
+    h_lim/w_lim (optional traced int scalars) clamp the sample coordinates
+    to a sub-rectangle [0, h_lim) x [0, w_lim) — used when levels of
+    different resolutions are zero-padded into one stack and each level's
+    true extent is smaller than the array (edge-replicate semantics against
+    the true border, never reading the padding)."""
     h, w = vol.shape[-2:]
-    y = jnp.clip(y, 0.0, h - 1.0)
-    x = jnp.clip(x, 0.0, w - 1.0)
+    hm = (h - 1.0) if h_lim is None else (h_lim - 1.0)
+    wm = (w - 1.0) if w_lim is None else (w_lim - 1.0)
+    y = jnp.clip(y, 0.0, hm)
+    x = jnp.clip(x, 0.0, wm)
     y0 = jnp.floor(y).astype(jnp.int32)
     x0 = jnp.floor(x).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
+    hi = (h - 1) if h_lim is None else (h_lim - 1)
+    wi = (w - 1) if w_lim is None else (w_lim - 1)
+    y1 = jnp.minimum(y0 + 1, hi)
+    x1 = jnp.minimum(x0 + 1, wi)
     fy = y - y0
     fx = x - x0
     v00 = vol[lvl, y0, x0]
