@@ -76,6 +76,10 @@ def _ba_500_iters_per_s(small: bool) -> float:
 
 
 def main():
+    from tpusfm.utils import compile_cache
+
+    cache_dir = compile_cache.enable()
+    log(f"compile cache: {cache_dir}")
     small = os.environ.get("BENCH_PRESET") == "small"
     n_views = int(os.environ.get("BENCH_VIEWS", 8 if small else 20))
     img_h = int(os.environ.get("BENCH_H", 240 if small else 480))

@@ -12,3 +12,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+from tpusfm.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()

@@ -94,6 +94,9 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from tpusfm.utils import compile_cache
+
+    compile_cache.enable()
     ap = argparse.ArgumentParser(prog="tpusfm")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -1,0 +1,40 @@
+"""Persistent XLA compilation cache.
+
+The TPU backend in this deployment compiles remotely (tens of seconds to
+minutes per executable through the tunnel); JAX's persistent compilation
+cache makes every compiled executable a one-time cost per machine —
+measured here: a 240 s first compile is a 0.1 s cache hit in a fresh
+process.  The reference has no analog (its C++ is AOT-compiled); this is
+the TPU-native equivalent of shipping prebuilt kernels.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".jax_cache")
+
+_enabled = False
+
+
+def enable(cache_dir: str | None = None) -> str | None:
+    """Enable the JAX persistent compilation cache (idempotent).
+
+    Directory priority: explicit arg > $TPUSFM_COMPILE_CACHE > .jax_cache
+    next to the package.  Set TPUSFM_COMPILE_CACHE=0 to disable."""
+    global _enabled
+    env = os.environ.get("TPUSFM_COMPILE_CACHE", "")
+    if env in ("0", "off", "none"):
+        return None
+    d = cache_dir or env or _DEFAULT_DIR
+    try:
+        import jax
+
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _enabled = True
+        return d
+    except Exception:  # pragma: no cover - best effort on older jax
+        return None
