@@ -140,6 +140,13 @@ def main():
     )
 
     # Secondary metric (BASELINE.md): BA iterations/s at 500 cameras.
+    # Release the sparse run's device buffers first: live scene arrays from
+    # run_sparse fragment HBM and were measured to slow the 1.5M-obs BA
+    # solve ~6x when left resident (0.16 vs 0.92 LM iters/s).
+    del scene
+    import gc
+
+    gc.collect()
     ba_its = None
     if os.environ.get("BENCH_SKIP_BA") != "1":
         try:
