@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import lie
+from .patchmatch import PatchMatchConfig
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,6 +45,12 @@ class DenseConfig:
     cost_thresh: float = 0.6    # max accepted (1 - NCC) cost
     depth_margin: float = 0.25  # widen the sparse depth range by this factor
     subsample: int = 1          # pixel stride for fusion
+    # Slanted-plane PatchMatch refinement of the plane-sweep init
+    # (checkerboard propagation, tpusfm.dense.patchmatch) — removes the
+    # fronto-parallel bias on oblique surfaces.  The reference's dense stage
+    # (OpenMVS DensifyPointCloud, main.cpp:161) is PatchMatch MVS.
+    patchmatch: bool = False
+    pm: PatchMatchConfig = dataclasses.field(default_factory=PatchMatchConfig)
 
 
 def _box_mean(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -209,10 +216,11 @@ def consistency_filter(
 
 def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(),
                       progress=None, views: list[int] | None = None,
-                      return_maps: bool = False):
+                      return_maps: bool = False, key=None):
     """Full dense stage over all registered views -> (points (N, 3) float32,
     colors (N, 3) uint8)[, maps dict when return_maps]."""
     progress = progress or (lambda *a, **k: None)
+    key = jax.random.PRNGKey(0) if key is None else key
     images = np.asarray(images, np.float32)
     V, H, W = images.shape
     reg = np.nonzero(np.asarray(scene.cam_mask))[0]
@@ -254,6 +262,17 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
             jnp.asarray(K), jnp.asarray(R_rel.astype(np.float32)),
             jnp.asarray(t_rel.astype(np.float32)), inv_depths, cfg,
         )
+        if cfg.patchmatch:
+            from . import patchmatch as pm_mod
+
+            d, c, _n = pm_mod.patchmatch_refine(
+                jnp.asarray(images[v]), jnp.asarray(images[srcs]),
+                jnp.asarray(K), jnp.asarray(R_rel.astype(np.float32)),
+                jnp.asarray(t_rel.astype(np.float32)),
+                1.0 / jnp.maximum(d, 1e-9),
+                jnp.float32(1.0 / hi), jnp.float32(1.0 / lo),
+                jax.random.fold_in(key, v), cfg.pm,
+            )
         depths[v] = np.asarray(d)
         costs[v] = np.asarray(c)
         computed.append(v)
