@@ -51,6 +51,13 @@ class IncrementalConfig:
     # DLT drops on weakly-connected scenes).
     pnp_minimal: str = "p3p"
     max_views_per_track: int = 6        # N-view triangulation capacity
+    # Views resected per cycle in ONE batched PnP dispatch (then one
+    # triangulation + BA-cadence step per cycle).  The reference registers
+    # strictly one view at a time (SequentialActuator.h:138); batching k
+    # independent resections against the same map is equivalent per view and
+    # cuts host<->device round-trips ~k-fold (each costs ~30 ms on the
+    # remote tunnel).  1 = reference-faithful sequential order.
+    register_batch: int = 4
     ba_every: int = 4                   # global BA every k registrations
     final_ba_iters: int = 25
     step_ba_iters: int = 8
@@ -141,6 +148,17 @@ def _init_pair_impl(key, x0n, x1n, valid, n_iters, thresh):
 
 
 _init_pair_kernel = partial(jax.jit, static_argnums=(4,))(_init_pair_impl)
+
+# Batched PnP: one dispatch resects a whole batch of candidate views
+# (leading axis over views; per-view keys and thresholds).
+@partial(jax.jit, static_argnames=("n_iters", "minimal"))
+def _pnp_batched(keys, X, xn, valid, threshs, n_iters, minimal):
+    def one(key, Xv, xnv, vv, th):
+        return pnp_mod.pnp_ransac(
+            key, Xv, xnv, vv, n_iters=n_iters, thresh_norm=th, minimal=minimal
+        )
+
+    return jax.vmap(one)(keys, X, xn, valid, threshs)
 
 # One dispatch scores every candidate seed pair (keeps per-candidate
 # round-trips off the remote-compile device).
@@ -377,51 +395,76 @@ class IncrementalEngine:
         self.progress("reconstruction", 2.0 / self.V)
         return key
 
-    def next_view(self):
-        """Unregistered view observing the most active points."""
+    def next_views(self, k: int):
+        """Up to k unregistered views, best-first by active-point count.
+
+        The best candidate only needs enough 2D-3D support to possibly pass
+        the PnP inlier gate; further batch members must be *comfortably*
+        supported (2x the gate) — weakly-supported views register later,
+        after intermediate triangulation has grown the map (preserving the
+        sequential schedule's behavior where it matters)."""
         score = np.zeros(self.V, np.int64)
         usable = self.point_active[self.obs_pt] & self.obs_ok
         np.add.at(score, self.obs_cam[usable], 1)
         score[self.registered | self.barred] = -1
-        v = int(np.argmax(score))
-        return (v, int(score[v])) if score[v] > 0 else (None, 0)
+        order = np.argsort(score)[::-1][:k]
+        gate = self.cfg.min_pnp_inliers
+        out = [int(v) for v in order[:1] if score[v] >= gate]
+        out += [int(v) for v in order[1:] if score[v] >= 2 * gate]
+        return out
 
-    def register_view(self, v, key):
-        """PnP-RANSAC registration (parity: SequentialActuator.h:169-196)."""
+    def register_views(self, views, key):
+        """PnP-RANSAC registration of a batch of views against the current
+        map in ONE device dispatch (per-view parity:
+        SequentialActuator.h:169-196; each resection is independent given
+        the map, so batching preserves per-view results exactly).
+
+        Returns the number of views accepted."""
         cfg = self.cfg
-        rows = np.nonzero(
-            (self.obs_cam == v) & self.point_active[self.obs_pt] & self.obs_ok
-        )[0]
         n = self.N
-        X = np.zeros((n, 3), np.float32)
-        xn = np.zeros((n, 2), np.float32)
-        valid = np.zeros(n, bool)
-        m = min(len(rows), n)
-        X[:m] = self.points[self.obs_pt[rows[:m]]]
-        xn[:m] = _np_pixel_to_normal(self.intr[v], self.obs_uv[rows[:m]])
-        valid[:m] = True
-        f = float(self.intr[v, 0])
-        key, k = jax.random.split(key)
-        out = pnp_mod.pnp_ransac(
-            k, jnp.asarray(X), jnp.asarray(xn), jnp.asarray(valid),
-            n_iters=cfg.pnp_iters, thresh_norm=cfg.pnp_thresh_px / f,
-            minimal=cfg.pnp_minimal,
+        B = cfg.register_batch  # fixed batch capacity: one compiled shape
+        X = np.zeros((B, n, 3), np.float32)
+        xn = np.zeros((B, n, 2), np.float32)
+        valid = np.zeros((B, n), bool)
+        threshs = np.full(B, 1e-2, np.float32)
+        rows_per = []
+        for bi, v in enumerate(views):
+            rows = np.nonzero(
+                (self.obs_cam == v) & self.point_active[self.obs_pt] & self.obs_ok
+            )[0]
+            m = min(len(rows), n)
+            X[bi, :m] = self.points[self.obs_pt[rows[:m]]]
+            xn[bi, :m] = _np_pixel_to_normal(self.intr[v], self.obs_uv[rows[:m]])
+            valid[bi, :m] = True
+            threshs[bi] = cfg.pnp_thresh_px / float(self.intr[v, 0])
+            rows_per.append(rows[:m])
+        key, k_ = jax.random.split(key)
+        keys = jax.random.split(k_, B)
+        out = _pnp_batched(
+            keys, jnp.asarray(X), jnp.asarray(xn), jnp.asarray(valid),
+            jnp.asarray(threshs), cfg.pnp_iters, cfg.pnp_minimal,
         )
         # One batched host readback (each separate sync costs a full tunnel
         # round-trip on the remote backend).
-        aa, t, inl, n_inl = jax.device_get(out)
-        n_inl = int(n_inl)
-        if n_inl < cfg.min_pnp_inliers:
-            self.log.append(f"view {v}: dropped ({n_inl} PnP inliers < {cfg.min_pnp_inliers})")
-            return False, key
-        self.registered[v] = True
-        self.aa[v] = aa
-        self.t[v] = t
-        inl_np = inl[:m]
-        self.obs_inlier[rows[:m][inl_np]] = True
-        self.n_registered += 1
-        self.log.append(f"view {v}: registered with {n_inl} PnP inliers")
-        return True, key
+        aa_b, t_b, inl_b, n_inl_b = jax.device_get(out)
+        accepted = 0
+        for bi, v in enumerate(views):
+            n_inl = int(n_inl_b[bi])
+            if n_inl < cfg.min_pnp_inliers:
+                self.log.append(
+                    f"view {v}: dropped ({n_inl} PnP inliers < {cfg.min_pnp_inliers})"
+                )
+                self.barred[v] = True
+                continue
+            self.registered[v] = True
+            self.aa[v] = aa_b[bi]
+            self.t[v] = t_b[bi]
+            rows = rows_per[bi]
+            self.obs_inlier[rows[inl_b[bi, : len(rows)]]] = True
+            self.n_registered += 1
+            accepted += 1
+            self.log.append(f"view {v}: registered with {n_inl} PnP inliers")
+        return accepted, key
 
     def triangulate_new(self):
         """Triangulate every inactive track with >= 2 registered views."""
@@ -568,18 +611,28 @@ class IncrementalEngine:
         steps = 0
         while self.n_registered < self.V and steps < max_steps:
             steps += 1
-            v, n2d3d = self.next_view()
-            if v is None:
-                break
-            ok, key = self.register_view(v, key)
-            if not ok:
-                # Frame drop (parity: SequentialActuator.h:193-196); bar the
-                # view so selection moves on.  Barred views get one retry
-                # pass after the map has grown (below).
-                self.barred[v] = True
+            views = self.next_views(cfg.register_batch)
+            if not views:
+                # Out of candidates.  If some views were dropped earlier,
+                # refine the map (BA + wash) and give them another chance —
+                # the map has since grown by other registrations.
+                if self.barred.any() and self.n_registered > 2:
+                    if since_ba > 0:
+                        self.run_ba(cfg.step_ba_iters)
+                        self.wash_outliers()
+                        since_ba = 0
+                    self.barred[:] = False
+                    views = self.next_views(cfg.register_batch)
+                if not views:
+                    break
+            # Batched resection: views failing the inlier gate are barred
+            # inside register_views (frame-drop parity,
+            # SequentialActuator.h:193-196) and retried after the map grows.
+            accepted, key = self.register_views(views, key)
+            if accepted == 0:
                 continue
             self.triangulate_new()
-            since_ba += 1
+            since_ba += accepted
             if since_ba >= cfg.ba_every:
                 self.run_ba(cfg.step_ba_iters)
                 self.wash_outliers()
