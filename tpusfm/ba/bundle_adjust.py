@@ -345,8 +345,8 @@ def bundle_adjust(
 
     intr_static = intr
 
-    def lm_step(carry, _):
-        cp, pts, lam, cost, done = carry
+    def lm_step(carry):
+        cp, pts, lam, cost, done, it = carry
 
         Wo, Hcc, Hpp, gc, gp = _build_system(
             cp, pts, intr_static, obs_cam, obs_pt, obs_uv, obs_w, cfg
@@ -395,18 +395,24 @@ def bundle_adjust(
         # Converged when an accepted step barely improves the cost.
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
         done = done | (accept & (rel < 1e-8))
-        return (cp, pts, lam, cost_out, done), cost_out
+        return cp, pts, lam, cost_out, done, it + 1
 
     init_cost = cost_of(cp0, points)
-    (cp, pts, lam, final_cost, _), _costs = jax.lax.scan(
-        lm_step, (cp0, points, jnp.float32(cfg.lambda_init), init_cost, jnp.bool_(False)),
-        None, length=cfg.max_iters,
+    # A real while_loop (not scan): converged solves stop paying for the
+    # remaining LM iterations on device — mid-reconstruction step-BAs
+    # typically accept 2-4 steps and exit.
+    (cp, pts, lam, final_cost, _, n_it) = jax.lax.while_loop(
+        lambda c: (c[5] < cfg.max_iters) & ~c[4],
+        lm_step,
+        (cp0, points, jnp.float32(cfg.lambda_init), init_cost, jnp.bool_(False),
+         jnp.int32(0)),
     )
     intr_out, rot_out, t_out = _unpack_cam_params(cp, intr_static, cfg)
     info = {
         "initial_cost": init_cost,
         "final_cost": final_cost,
         "lambda": lam,
+        "iterations": n_it,
         "n_obs": _maybe_psum(jnp.sum(obs_mask), cfg.axis_name),
     }
     return intr_out, rot_out, t_out, pts, info
