@@ -98,6 +98,10 @@ def test_upload_then_sparse_end_to_end(service):
     assert st["error"] is None, st
     assert "colorized.ply" in st["artifacts"]
     assert "scene.npz" in st["artifacts"]
+    # COLMAP interchange model written alongside (DenseBuilder::save parity).
+    assert (ws / "colmap" / "cameras.txt").exists()
+    assert (ws / "colmap" / "images.txt").exists()
+    assert (ws / "colmap" / "points3D.txt").exists()
 
     # Artifact download.
     code, data = _get(port, "/files/colorized.ply")

@@ -85,6 +85,15 @@ def cmd_serve(args):
     serve(args.workspace, _make_cfg(args), host=args.host, port=args.port)
 
 
+def cmd_export_colmap(args):
+    from tpusfm.io.colmap import export_colmap
+    from tpusfm.sfm.scene import load_scene_npz
+
+    scene = load_scene_npz(args.scene)
+    out = export_colmap(args.out, scene)
+    print(out)
+
+
 def cmd_bench(args):
     del args
     import runpy
@@ -117,6 +126,12 @@ def main(argv=None):
 
     b = sub.add_parser("bench", help="run the benchmark")
     b.set_defaults(fn=cmd_bench)
+
+    e = sub.add_parser("export-colmap",
+                       help="export a reconstructed scene.npz as a COLMAP text model")
+    e.add_argument("scene", help="path to scene.npz")
+    e.add_argument("--out", default="./colmap_model")
+    e.set_defaults(fn=cmd_export_colmap)
 
     args = ap.parse_args(argv)
     args.fn(args)

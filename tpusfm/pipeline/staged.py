@@ -190,6 +190,18 @@ class StagedPipeline:
         scene = engine.colorize(scene, rgb)
 
         scene_mod.save_scene_npz(str(self.ws / "scene.npz"), scene)
+        # External-tool interchange (~ DenseBuilder::save -> .mvs,
+        # DenseBuilder.h:54-146): COLMAP text model, the portable format the
+        # OpenMVS toolchain ingests (InterfaceCOLMAP).
+        from ..io import colmap
+
+        try:
+            sizes = np.array([[im.shape[1], im.shape[0]] for im in rgb]) \
+                if len(rgb) == scene.max_cams else None
+            colmap.export_colmap(self.ws / "colmap", scene,
+                                 [p.name for p in paths], image_sizes=sizes)
+        except Exception as e:  # interchange is auxiliary — never fail sparse
+            self.progress("sparse", 1.0, warning=f"colmap export failed: {e}")
         reg = np.asarray(scene.cam_mask)
         pm = np.asarray(scene.point_mask)
         centers = np.asarray(scene.camera_centers())[reg]
