@@ -150,3 +150,42 @@ def to_grayscale(images: jnp.ndarray) -> jnp.ndarray:
             0.299 * images[..., 0] + 0.587 * images[..., 1] + 0.114 * images[..., 2]
         )
     return images.astype(jnp.float32)
+
+
+def undistort_image(image: jnp.ndarray, intr: jnp.ndarray,
+                    fill: float = 0.0) -> jnp.ndarray:
+    """Resample a captured (distorted) image onto the ideal pinhole grid.
+
+    The dense stage consumes ideal-pinhole images, like the reference's
+    `openMVG_main_openMVG2openMVS -d undistorted_images` export
+    (src/main.cpp:157-158).  Output pixel p gets the value at the captured
+    position of p's ideal ray: src = K * distort(K^-1 p) — forward radial
+    distortion, so no iterative inversion is needed in the remap.
+
+    image: (H, W) or (H, W, C) float; intr: (7,) fx fy cx cy k1 k2 k3.
+    Out-of-bounds samples get `fill`.
+    """
+    from ..core import camera as _cam
+
+    h, w = image.shape[:2]
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    f = jnp.stack([intr[0], intr[1]])
+    c = jnp.stack([intr[2], intr[3]])
+    xn = (jnp.stack([xs, ys], axis=-1) - c) / f          # ideal normalized
+    src = _cam.distort_radial(intr, xn) * f + c          # captured pixels
+    sx, sy = src[..., 0], src[..., 1]
+    # Half-pixel tolerance: float round-trip puts exact border pixels at
+    # +-1e-6, and any source within half a pixel of the frame still has a
+    # meaningful clamped-bilinear value.
+    inb = (sx > -0.5) & (sx < w - 0.5) & (sy > -0.5) & (sy < h - 0.5)
+    if image.ndim == 2:
+        out = bilinear_sample(image, sy, sx)
+        return jnp.where(inb, out, fill)
+    out = jnp.stack(
+        [bilinear_sample(image[..., ch], sy, sx) for ch in range(image.shape[-1])],
+        axis=-1,
+    )
+    return jnp.where(inb[..., None], out, fill)

@@ -249,6 +249,34 @@ class StagedPipeline:
         paths = im_io.list_images(self.image_dir())
         images = im_io.load_images_gray(paths)
         rgb = im_io.load_images_rgb(paths)
+        # Undistort to ideal pinhole before MVS, like the reference's
+        # `openMVG2openMVS -d undistorted_images` export (main.cpp:157-158).
+        intr_np = np.asarray(scene.intr)
+        if np.abs(intr_np[:, 4:7]).max() > 1e-12:
+            import jax.numpy as jnp
+
+            from ..ops.image import undistort_image
+
+            und_dir = self.ws / "undistorted_images"
+            und_dir.mkdir(exist_ok=True)
+            und = jax.jit(undistort_image)
+            g_list, c_list = [], []
+            for i in range(len(images)):
+                it = jnp.asarray(intr_np[min(i, len(intr_np) - 1)])
+                g_list.append(np.asarray(und(jnp.asarray(images[i]), it)))
+                cu = np.asarray(und(jnp.asarray(rgb[i], jnp.float32), it))
+                c_list.append(np.clip(cu, 0, 255).astype(np.uint8))
+                try:
+                    from PIL import Image as _PILImage
+
+                    _PILImage.fromarray(c_list[-1]).save(und_dir / paths[i].name)
+                except Exception:
+                    pass
+            images = np.stack(g_list)
+            rgb = np.stack(c_list)
+            intr_np = intr_np.copy()
+            intr_np[:, 4:7] = 0.0
+            scene = scene.replace(intr=jnp.asarray(intr_np))
         pts, cols, maps = dense_depth.dense_reconstruct(
             scene, images, rgb, progress=self.progress, return_maps=True
         )
