@@ -1,0 +1,87 @@
+"""BA pallas path (ops/obs_table.py kernels, interpret mode) vs the XLA
+path: same problem, equivalent solution."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from synth import orbit_scene
+from tpusfm.ba import bundle_adjust as ba
+
+
+def _problem(C=12, P=300, noise=1.5, seed=0):
+    s = orbit_scene(n_cams=C, n_points=P, noise_px=0.8, seed=seed, arc_deg=200.0)
+    O = len(s["obs_cam"])
+    r = np.random.default_rng(seed + 1)
+    return dict(
+        intr=jnp.asarray(np.tile(s["intr"], (C, 1))),
+        cam_rot=jnp.asarray(s["aa"] + r.normal(scale=0.01, size=(C, 3)),
+                            jnp.float32),
+        cam_t=jnp.asarray(s["t"] + r.normal(scale=0.02, size=(C, 3)),
+                          jnp.float32),
+        cam_mask=jnp.ones(C, bool),
+        points=jnp.asarray(s["points"] + r.normal(scale=0.05, size=(P, 3)),
+                           jnp.float32),
+        point_mask=jnp.asarray(s["point_valid"]),
+        obs_cam=jnp.asarray(s["obs_cam"]),
+        obs_pt=jnp.asarray(s["obs_pt"]),
+        obs_uv=jnp.asarray(s["obs_uv"]),
+        obs_mask=jnp.ones(O, bool),
+    )
+
+
+def test_pallas_path_matches_xla():
+    args = _problem()
+    cfg_x = ba.BAConfig(max_iters=8, cg_iters=40, impl="xla")
+    cfg_p = ba.BAConfig(max_iters=8, cg_iters=40, impl="pallas",
+                        pallas_interpret=True)
+    ix, rx, tx, px, infx = ba.bundle_adjust(cfg=cfg_x, **args)
+    ip, rp, tp, pp, infp = ba.bundle_adjust(cfg=cfg_p, **args)
+
+    # Both converge to the same cost basin.
+    fx = float(infx["final_cost"])
+    fp = float(infp["final_cost"])
+    assert fp < float(infp["initial_cost"]) * 0.5
+    assert abs(fx - fp) < 0.05 * max(fx, 1.0)
+    # Camera parameters agree.
+    np.testing.assert_allclose(np.asarray(rp), np.asarray(rx), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(tx), atol=5e-3)
+
+
+def test_pallas_path_masked_obs_and_points():
+    args = _problem(C=8, P=200, seed=3)
+    O = args["obs_cam"].shape[0]
+    rng = np.random.default_rng(0)
+    keep = jnp.asarray(rng.random(O) > 0.3)
+    args["obs_mask"] = args["obs_mask"] & keep
+    pm = np.asarray(args["point_mask"]).copy()
+    pm[:20] = False
+    args["point_mask"] = jnp.asarray(pm)
+
+    cfg_p = ba.BAConfig(max_iters=5, cg_iters=30, impl="pallas",
+                        pallas_interpret=True)
+    cfg_x = ba.BAConfig(max_iters=5, cg_iters=30, impl="xla")
+    ip, rp, tp, pp, infp = ba.bundle_adjust(cfg=cfg_p, **args)
+    ix, rx, tx, px, infx = ba.bundle_adjust(cfg=cfg_x, **args)
+    assert float(infp["final_cost"]) <= float(infp["initial_cost"])
+    assert abs(float(infp["final_cost"]) - float(infx["final_cost"])) \
+        < 0.05 * max(float(infx["final_cost"]), 1.0)
+    # Masked points never move.
+    np.testing.assert_allclose(np.asarray(pp)[:20],
+                               np.asarray(args["points"])[:20])
+    # Masked-out observations of masked points do not poison cameras.
+    assert np.isfinite(np.asarray(tp)).all()
+
+
+def test_pallas_path_respects_frozen_cameras():
+    args = _problem(C=8, P=200, seed=5)
+    free = np.ones(8, bool)
+    free[3] = False
+    cfg_p = ba.BAConfig(max_iters=4, cg_iters=25, impl="pallas",
+                        pallas_interpret=True)
+    ip, rp, tp, pp, infp = ba.bundle_adjust(
+        cfg=cfg_p, cam_free_mask=jnp.asarray(free), **args
+    )
+    np.testing.assert_allclose(np.asarray(rp)[3], np.asarray(args["cam_rot"])[3])
+    np.testing.assert_allclose(np.asarray(tp)[3], np.asarray(args["cam_t"])[3])
+    # Gauge: camera 0 frozen too.
+    np.testing.assert_allclose(np.asarray(rp)[0], np.asarray(args["cam_rot"])[0])

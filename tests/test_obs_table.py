@@ -1,0 +1,112 @@
+"""Pallas observation-table primitives vs XLA oracles (interpret mode on the
+CPU mesh; the real TPU path is exercised by bench.py through BA)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusfm.ops import obs_table as ot
+
+
+def test_gather_table_matches_indexing():
+    rng = np.random.default_rng(0)
+    tab = jnp.asarray(rng.random((37, 13), np.float32))
+    idx = jnp.asarray(rng.integers(0, 37, 1200).astype(np.int32))
+    out = ot.gather_table(tab, idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(tab)[np.asarray(idx)],
+                               rtol=1e-6)
+    # Out-of-range ids -> zero rows.
+    idx2 = idx.at[5].set(37).at[100].set(1000)
+    out2 = ot.gather_table(tab, idx2, interpret=True)
+    assert np.all(np.asarray(out2)[5] == 0) and np.all(np.asarray(out2)[100] == 0)
+
+
+def test_segsum_table_matches_segment_sum():
+    rng = np.random.default_rng(1)
+    O, N, D = 3000, 41, 6
+    vals = jnp.asarray(rng.normal(size=(O, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, N, O).astype(np.int32))
+    out = ot.segsum_table(vals, idx, N, interpret=True)
+    ref = jax.ops.segment_sum(vals, idx, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # ids >= N dropped
+    idx2 = idx.at[0].set(N)
+    out2 = ot.segsum_table(vals, idx2, N, interpret=True)
+    ref2 = jax.ops.segment_sum(vals[1:], idx[1:], N)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-4)
+
+
+def _sorted_dense_ids(rng, O, P):
+    """Sorted dense rank-like ids: nondecreasing, gaps of exactly 1."""
+    counts = rng.integers(1, 9, P)
+    ids = np.repeat(np.arange(P), counts)
+    return ids[:O] if len(ids) >= O else np.concatenate(
+        [ids, np.full(O - len(ids), P - 1)]
+    )
+
+
+def test_gather_sorted_matches_indexing():
+    rng = np.random.default_rng(2)
+    O, P, D = 4000, 900, 3
+    ids = np.sort(_sorted_dense_ids(rng, O, P)).astype(np.int32)
+    tab = jnp.asarray(rng.random((P, D), np.float32))
+    out = ot.gather_sorted(tab, jnp.asarray(ids), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(tab)[ids], rtol=1e-6)
+
+
+def test_segsum_sorted_matches_segment_sum():
+    rng = np.random.default_rng(3)
+    O, P, D = 4000, 900, 12
+    ids = np.sort(_sorted_dense_ids(rng, O, P)).astype(np.int32)
+    vals = jnp.asarray(rng.normal(size=(O, D)).astype(np.float32))
+    out = ot.segsum_sorted(vals, jnp.asarray(ids), P, interpret=True)
+    ref = jax.ops.segment_sum(vals, jnp.asarray(ids), P)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_segsum_sorted_window_straddles_blocks():
+    # One segment spanning a block boundary plus ids whose window base is in
+    # the previous block — the j in {0,1} two-half accumulation must catch it.
+    O, P, D = 1100, 600, 4
+    ids = np.concatenate([
+        np.full(500, 0), np.full(24, 1), np.full(576, 2)
+    ]).astype(np.int32)[:O]
+    rng = np.random.default_rng(4)
+    vals = jnp.asarray(rng.normal(size=(O, D)).astype(np.float32))
+    out = ot.segsum_sorted(vals, jnp.asarray(ids), P, interpret=True)
+    ref = jax.ops.segment_sum(vals, jnp.asarray(ids), P)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_sort_and_rank():
+    rng = np.random.default_rng(5)
+    O, S = 500, 64
+    seg = jnp.asarray(rng.integers(0, S, O).astype(np.int32))
+    valid = jnp.asarray(rng.random(O) > 0.2)
+    order, ranks, rank_to_seg, rank_valid = ot.sort_and_rank(seg, valid, S)
+    seg_s = np.asarray(seg)[np.asarray(order)]
+    valid_s = np.asarray(valid)[np.asarray(order)]
+    ranks = np.asarray(ranks)
+    # Valid rows first, ranks dense and nondecreasing.
+    nv = valid_s.sum()
+    assert valid_s[:nv].all() and not valid_s[nv:].any()
+    r = ranks[:nv]
+    assert r[0] == 0 and np.all(np.diff(r) >= 0) and np.all(np.diff(r) <= 1)
+    # Rank maps back to the right original segment id.
+    r2s = np.asarray(rank_to_seg)
+    assert np.all(r2s[r] == seg_s[:nv])
+    assert np.asarray(rank_valid)[: r.max() + 1].all()
+    # Invalid rows ranked out of range.
+    assert (ranks[nv:] >= S).all()
+    # Round-trip: segment sums via ranks equal direct segment sums.
+    vals = rng.normal(size=(O, 2)).astype(np.float32)
+    vs = jnp.asarray(vals)[jnp.asarray(order)]
+    by_rank = jax.ops.segment_sum(
+        vs * valid_s[:, None], jnp.minimum(jnp.asarray(ranks), S), S + 1
+    )[:S]
+    direct = jax.ops.segment_sum(jnp.asarray(vals) * np.asarray(valid)[:, None],
+                                 seg, S)
+    scattered = np.zeros((S, 2), np.float32)
+    rv = np.asarray(rank_valid)
+    scattered[r2s[rv]] = np.asarray(by_rank)[rv]
+    np.testing.assert_allclose(scattered, np.asarray(direct), atol=1e-5)
