@@ -120,11 +120,11 @@ def main():
     scene, report = run_sparse(images, gt["intr"], cfg, key=jax.random.PRNGKey(0))
     log(f"warmup (incl. compile): {time.time()-t0:.1f}s; report {report['times_s']}")
 
-    # Timed steady-state: two runs with fresh keys (a first post-warmup run
-    # can still hit one-off kernel variants, e.g. a triangulation bucket the
-    # warmup key never reached); report the faster.
+    # Timed steady-state: three runs with fresh keys (a first post-warmup run
+    # can still hit one-off kernel variants, e.g. a triangulation or BA
+    # bucket the warmup key never reached); report the fastest.
     dts = []
-    for rep in (1, 2):
+    for rep in (1, 2, 3):
         t0 = time.time()
         scene, report = run_sparse(images, gt["intr"], cfg, key=jax.random.PRNGKey(rep))
         dts.append(time.time() - t0)

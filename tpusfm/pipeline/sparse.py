@@ -376,12 +376,14 @@ def run_sparse(images, intr, cfg: PipelineConfig = PipelineConfig(), key=None,
     )
     times["reconstruction"] = time.time() - t3
 
+    t4 = time.time()
     gray = np.asarray(images)
     if gray.ndim == 3:
         rgb = np.repeat((np.clip(gray, 0, 1) * 255).astype(np.uint8)[..., None], 3, -1)
     else:
         rgb = np.asarray(images).astype(np.uint8)
     scene = engine.colorize(scene, rgb)
+    times["colorize"] = time.time() - t4
     times["total"] = time.time() - t0
     report = {
         "n_views": int(images.shape[0]),
