@@ -38,7 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 512  # observation rows per block (sublane dim of the one-hot matmuls)
+B = 512   # window granularity: sorted ids in any B-row span cover < B
+          # distinct values (rank-compaction invariant)
+KSUB = 4  # sub-blocks processed per grid step (grid-step overhead, ~2.5us
+          # each, dominates at B=512 — measured 20ms for 2930x2 steps;
+          # KSUB=8 with a 512-wide table blows the 16MB VMEM scope)
+BCAM = B * KSUB  # camera-side kernels have no window constraint: big blocks
 
 
 def _oh_dot(onehot: jnp.ndarray, vals: jnp.ndarray, contract_lhs: int):
@@ -49,7 +54,7 @@ def _oh_dot(onehot: jnp.ndarray, vals: jnp.ndarray, contract_lhs: int):
     bits each ≈ f32's 24) and run three full-rate bf16 matmuls — cheaper
     than one f32 Precision.HIGHEST dot (6 passes) and exact to f32
     round-off, which segment sums must be (BA Hessian blocks)."""
-    oh = onehot.astype(jnp.bfloat16)
+    oh = onehot if onehot.dtype == jnp.bfloat16 else onehot.astype(jnp.bfloat16)
     hi = vals.astype(jnp.bfloat16)
     rem = vals - hi.astype(jnp.float32)
     mid = rem.astype(jnp.bfloat16)
@@ -85,7 +90,7 @@ def _gather_table_kernel(idx_ref, tab_ref, out_ref):
     n = tab_ref.shape[0]
     idx = idx_ref[:]  # (B, 1) int32
     cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
-    onehot = (cols == idx).astype(jnp.float32)
+    onehot = (cols == idx).astype(jnp.bfloat16)
     out_ref[:] = _oh_dot(onehot, tab_ref[:], contract_lhs=1)
 
 
@@ -95,18 +100,18 @@ def gather_table(table: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False):
     Returns (O, D) = table[idx] with out-of-range ids yielding zeros."""
     o = idx.shape[0]
     n, d = table.shape
-    o_p = _ceil_to(max(o, 1), B)
+    o_p = _ceil_to(max(o, 1), BCAM)
     n_p = _ceil_to(max(n, 1), 8)
     idx_p = _pad_rows(idx.astype(jnp.int32).reshape(-1, 1), o_p, value=n_p)
     tab_p = _pad_rows(table.astype(jnp.float32), n_p)
     out = pl.pallas_call(
         _gather_table_kernel,
-        grid=(o_p // B,),
+        grid=(o_p // BCAM,),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BCAM, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_p, d), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, d), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BCAM, d), lambda b: (b, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((o_p, d), jnp.float32),
         interpret=interpret,
     )(idx_p, tab_p)
@@ -120,7 +125,7 @@ def _segsum_table_kernel(idx_ref, vals_ref, out_ref):
     n = out_ref.shape[0]
     idx = idx_ref[:]  # (B, 1) int32
     cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
-    onehot = (cols == idx).astype(jnp.float32)
+    onehot = (cols == idx).astype(jnp.bfloat16)
     contrib = _oh_dot(onehot, vals_ref[:], contract_lhs=0)
 
     @pl.when(pl.program_id(0) == 0)
@@ -136,16 +141,16 @@ def segsum_table(vals: jnp.ndarray, idx: jnp.ndarray, n: int,
     """vals (O, D) f32, idx (O,) int32 (any order; ids >= n are dropped).
     Returns (n, D) per-segment sums — `jax.ops.segment_sum` on the MXU."""
     o, d = vals.shape
-    o_p = _ceil_to(max(o, 1), B)
+    o_p = _ceil_to(max(o, 1), BCAM)
     n_p = _ceil_to(max(n, 1), 8)
     idx_p = _pad_rows(idx.astype(jnp.int32).reshape(-1, 1), o_p, value=n_p)
     vals_p = _pad_rows(vals.astype(jnp.float32), o_p)
     out = pl.pallas_call(
         _segsum_table_kernel,
-        grid=(o_p // B,),
+        grid=(o_p // BCAM,),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, d), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BCAM, 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BCAM, d), lambda b: (b, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n_p, d), lambda b: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_p, d), jnp.float32),
@@ -165,7 +170,7 @@ def _gather_sorted_kernel(wstart_ref, idx_ref, tab_ref, out_ref):
     base = (wstart_ref[b] + j) * B
     idx = idx_ref[:]  # (B, 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], B), 1)
-    onehot = (cols == (idx - base)).astype(jnp.float32)
+    onehot = (cols == (idx - base)).astype(jnp.bfloat16)
     contrib = _oh_dot(onehot, tab_ref[:], contract_lhs=1)
 
     @pl.when(j == 0)
@@ -210,16 +215,23 @@ def gather_sorted(table: jnp.ndarray, idx_sorted: jnp.ndarray,
 
 
 def _segsum_sorted_kernel(wstart_ref, idx_ref, vals_ref, out_ref):
-    """Partial for output window block (wstart[b] + j):
-    out (B, D) = onehot(B_obs, B_out)^T @ vals (B, D).  Each (b, j) owns its
-    output block exclusively — no accumulation hazards."""
-    b = pl.program_id(0)
+    """Partials for KSUB sub-blocks at once (one grid step amortizes the
+    per-step dispatch/DMA overhead): sub-block k's half-j partial is
+    onehot(B_obs, B_out)^T @ vals_k, written to its own output rows — each
+    (s, j, k) output slice has exactly one writer."""
+    s = pl.program_id(0)
     j = pl.program_id(1)
-    base = (wstart_ref[b] + j) * B
-    idx = idx_ref[:]  # (B, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], B), 1)
-    onehot = (cols == (idx - base)).astype(jnp.float32)
-    out_ref[:] = _oh_dot(onehot, vals_ref[:], contract_lhs=0)
+    idx = idx_ref[:]  # (KSUB*B, 1)
+    vals = vals_ref[:]
+
+    for k in range(KSUB):
+        base = (wstart_ref[s * KSUB + k] + j) * B
+        idx_k = idx[k * B:(k + 1) * B]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+        onehot = (cols == (idx_k - base)).astype(jnp.bfloat16)
+        out_ref[k * B:(k + 1) * B, :] = _oh_dot(
+            onehot, vals[k * B:(k + 1) * B], contract_lhs=0
+        )
 
 
 @partial(jax.jit, static_argnames=("p", "interpret"))
@@ -229,9 +241,10 @@ def segsum_sorted(vals: jnp.ndarray, idx_sorted: jnp.ndarray, p: int,
     per-segment sums.  Phase 1 (Pallas): per-(block, window-half) partials;
     phase 2 (XLA): segment-sum of the 2*O/B partial BLOCKS (tiny)."""
     o, d = vals.shape
-    o_p = _ceil_to(max(o, 1), B)
+    o_p = _ceil_to(max(o, 1), B * KSUB)
     p_tab = _ceil_to(max(p, 1), B) + B
-    nb = o_p // B
+    nb = o_p // B          # sub-blocks (window granularity)
+    ns = nb // KSUB        # grid steps per half
     idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
                       value=p_tab - B)
     vals_p = _pad_rows(vals.astype(jnp.float32), o_p)
@@ -240,21 +253,24 @@ def segsum_sorted(vals: jnp.ndarray, idx_sorted: jnp.ndarray, p: int,
         _segsum_sorted_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nb, 2),
+            grid=(ns, 2),
             in_specs=[
-                pl.BlockSpec((B, 1), lambda b, j, ws: (b, 0),
+                pl.BlockSpec((B * KSUB, 1), lambda s, j, ws: (s, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, d), lambda b, j, ws: (b, 0),
+                pl.BlockSpec((B * KSUB, d), lambda s, j, ws: (s, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((B, d), lambda b, j, ws: (b * 2 + j, 0),
+            out_specs=pl.BlockSpec((B * KSUB, d),
+                                   lambda s, j, ws: (s * 2 + j, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((nb * 2 * B, d), jnp.float32),
         interpret=interpret,
     )(wstart, idx_p, vals_p)
-    # Phase 2: fold the 2*nb partial blocks by their window-block id.
-    ids = jnp.stack([wstart, wstart + 1], axis=1).reshape(-1)  # (2nb,)
+    # Phase 2: fold the 2*nb partial sub-blocks by their window-block id.
+    # Partial row layout: (s, j, k) -> rows [((s*2+j)*KSUB + k) * B, +B).
+    ids = jnp.stack([wstart.reshape(ns, KSUB), wstart.reshape(ns, KSUB) + 1],
+                    axis=1).reshape(-1)  # (ns*2*KSUB,) in (s, j, k) order
     flat = partials.reshape(nb * 2, B * d)
     folded = jax.ops.segment_sum(flat, ids, num_segments=p_tab // B)
     return folded.reshape(p_tab, d)[:p]
