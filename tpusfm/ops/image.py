@@ -189,3 +189,34 @@ def undistort_image(image: jnp.ndarray, intr: jnp.ndarray,
         axis=-1,
     )
     return jnp.where(inb[..., None], out, fill)
+
+
+def bilinear_sample_level_ch(vol: jnp.ndarray, lvl, y: jnp.ndarray, x: jnp.ndarray,
+                             h_lim=None, w_lim=None) -> jnp.ndarray:
+    """`bilinear_sample_level` over a channel-packed stack vol (L, H, W, C):
+    one gather row fetches all C channels (the SIFT describe stage packs
+    magnitude+angle to halve its gather count — gather cost on TPU is per
+    ROW, not per byte).  Returns (..., C)."""
+    h, w = vol.shape[-3:-1]
+    hm = (h - 1.0) if h_lim is None else (h_lim - 1.0)
+    wm = (w - 1.0) if w_lim is None else (w_lim - 1.0)
+    y = jnp.clip(y, 0.0, hm)
+    x = jnp.clip(x, 0.0, wm)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    hi = (h - 1) if h_lim is None else (h_lim - 1)
+    wi = (w - 1) if w_lim is None else (w_lim - 1)
+    y1 = jnp.minimum(y0 + 1, hi)
+    x1 = jnp.minimum(x0 + 1, wi)
+    fy = (y - y0)[..., None]
+    fx = (x - x0)[..., None]
+    v00 = vol[lvl, y0, x0]
+    v01 = vol[lvl, y0, x1]
+    v10 = vol[lvl, y1, x0]
+    v11 = vol[lvl, y1, x1]
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
