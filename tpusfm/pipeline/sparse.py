@@ -47,13 +47,18 @@ def detect_features(images, cfg: PipelineConfig, progress=_noop_progress,
     for i in range(0, V, bs):
         chunk = jnp.asarray(images[i : i + bs])
         mchunk = None if masks is None else jnp.asarray(np.asarray(masks)[i : i + bs])
-        out.append(jax.device_get(sift.detect_and_describe(chunk, cfg.sift, mchunk)))
+        # Stay on device: matching consumes the descriptors there, and a
+        # per-chunk device_get costs two full tunnel round-trips (~12MB each
+        # way) plus serializing the chunk dispatches.
+        out.append(sift.detect_and_describe(chunk, cfg.sift, mchunk))
         progress("features", min(1.0, (i + bs) / V))
+    if len(out) == 1:
+        return out[0]
     return sift.Features(
-        kp=jnp.concatenate([jnp.asarray(o.kp) for o in out]),
-        desc=jnp.concatenate([jnp.asarray(o.desc) for o in out]),
-        score=jnp.concatenate([jnp.asarray(o.score) for o in out]),
-        mask=jnp.concatenate([jnp.asarray(o.mask) for o in out]),
+        kp=jnp.concatenate([o.kp for o in out]),
+        desc=jnp.concatenate([o.desc for o in out]),
+        score=jnp.concatenate([o.score for o in out]),
+        mask=jnp.concatenate([o.mask for o in out]),
     )
 
 
