@@ -239,6 +239,182 @@ void parallel_for(int n, int n_threads, const std::function<void(int)>& fn) {
 
 }  // namespace
 
+
+// ---------------------------------------------------------------------------
+// EXIF (JPEG APP1 / TIFF IFD) parsing — native counterpart of the
+// reference's Exif_IO_EasyExif usage (src/sparseBuilder/sparseBuilder.cpp:
+// 389-465: focal length, camera make/model for the sensor-width database,
+// GPS position priors via getGPS, .cpp:112).  Pure bounds-checked binary
+// walk; no third-party EXIF library.
+// ---------------------------------------------------------------------------
+
+namespace exif {
+
+struct Tiff {
+  const uint8_t* p;
+  size_t n;
+  bool le;  // little-endian ("II")
+  uint16_t u16(size_t o) const {
+    if (o + 2 > n) return 0;
+    return le ? uint16_t(p[o] | p[o + 1] << 8) : uint16_t(p[o] << 8 | p[o + 1]);
+  }
+  uint32_t u32(size_t o) const {
+    if (o + 4 > n) return 0;
+    return le ? (uint32_t(p[o]) | uint32_t(p[o + 1]) << 8 |
+                 uint32_t(p[o + 2]) << 16 | uint32_t(p[o + 3]) << 24)
+              : (uint32_t(p[o]) << 24 | uint32_t(p[o + 1]) << 16 |
+                 uint32_t(p[o + 2]) << 8 | uint32_t(p[o + 3]));
+  }
+  double rational(size_t o) const {
+    double num = u32(o), den = u32(o + 4);
+    return den != 0.0 ? num / den : 0.0;
+  }
+};
+
+struct Entry {
+  uint16_t tag, type;
+  uint32_t count;
+  size_t val_off;  // offset of the value bytes inside the TIFF block
+};
+
+inline size_t type_size(uint16_t t) {
+  switch (t) {
+    case 1: case 2: case 6: case 7: return 1;
+    case 3: case 8: return 2;
+    case 4: case 9: case 11: return 4;
+    case 5: case 10: case 12: return 8;
+    default: return 0;
+  }
+}
+
+// Walk one IFD, calling fn(entry) per entry. Returns offset of next IFD.
+template <typename F>
+uint32_t walk_ifd(const Tiff& t, uint32_t ifd_off, F&& fn) {
+  if (ifd_off + 2 > t.n) return 0;
+  uint16_t n_entries = t.u16(ifd_off);
+  if (n_entries > 512) return 0;  // corrupt
+  for (uint16_t i = 0; i < n_entries; ++i) {
+    size_t e = ifd_off + 2 + size_t(i) * 12;
+    if (e + 12 > t.n) break;
+    Entry ent;
+    ent.tag = t.u16(e);
+    ent.type = t.u16(e + 2);
+    ent.count = t.u32(e + 4);
+    size_t sz = type_size(ent.type) * size_t(ent.count);
+    ent.val_off = sz <= 4 ? e + 8 : t.u32(e + 8);
+    if (ent.val_off + sz <= t.n) fn(ent);
+  }
+  return t.u32(ifd_off + 2 + size_t(n_entries) * 12);
+}
+
+struct Result {
+  double focal_mm = 0, focal35 = 0, lat = 0, lon = 0, alt = 0;
+  int has = 0;  // bitmask: 1 focal, 2 focal35mm, 4 gps, 8 make/model
+  char make[64] = {0}, model[64] = {0};
+};
+
+inline void copy_ascii(const Tiff& t, const Entry& e, char* dst, size_t cap) {
+  size_t n = std::min(size_t(e.count), cap - 1);
+  for (size_t i = 0; i < n; ++i) dst[i] = char(t.p[e.val_off + i]);
+  dst[n] = 0;
+  // Trim trailing spaces/NULs.
+  for (size_t i = n; i > 0 && (dst[i - 1] == ' ' || dst[i - 1] == 0); --i)
+    dst[i - 1] = 0;
+}
+
+inline double dms(const Tiff& t, const Entry& e) {
+  if (e.type != 5 || e.count < 3) return 0.0;
+  return t.rational(e.val_off) + t.rational(e.val_off + 8) / 60.0 +
+         t.rational(e.val_off + 16) / 3600.0;
+}
+
+// Parse the TIFF block of an EXIF payload.
+inline bool parse_tiff(const uint8_t* p, size_t n, Result* out) {
+  if (n < 8) return false;
+  Tiff t{p, n, false};
+  if (p[0] == 'I' && p[1] == 'I') t.le = true;
+  else if (p[0] == 'M' && p[1] == 'M') t.le = false;
+  else return false;
+  if (t.u16(2) != 42) return false;
+  uint32_t exif_ifd = 0, gps_ifd = 0;
+  walk_ifd(t, t.u32(4), [&](const Entry& e) {
+    if (e.tag == 0x010F) { copy_ascii(t, e, out->make, sizeof out->make); out->has |= 8; }
+    else if (e.tag == 0x0110) { copy_ascii(t, e, out->model, sizeof out->model); out->has |= 8; }
+    else if (e.tag == 0x8769) exif_ifd = t.u32(e.val_off);
+    else if (e.tag == 0x8825) gps_ifd = t.u32(e.val_off);
+  });
+  if (exif_ifd) {
+    walk_ifd(t, exif_ifd, [&](const Entry& e) {
+      if (e.tag == 0x920A && e.type == 5) {
+        out->focal_mm = t.rational(e.val_off);
+        if (out->focal_mm > 0) out->has |= 1;
+      } else if (e.tag == 0xA405 && e.type == 3) {
+        out->focal35 = t.u16(e.val_off);
+        if (out->focal35 > 0) out->has |= 2;
+      }
+    });
+  }
+  if (gps_ifd) {
+    char lat_ref = 0, lon_ref = 0;
+    uint8_t alt_ref = 0;
+    double lat = 0, lon = 0, alt = 0;
+    bool got_lat = false, got_lon = false;
+    walk_ifd(t, gps_ifd, [&](const Entry& e) {
+      if (e.tag == 1 && e.count >= 1) lat_ref = char(t.p[e.val_off]);
+      else if (e.tag == 2) { lat = dms(t, e); got_lat = true; }
+      else if (e.tag == 3 && e.count >= 1) lon_ref = char(t.p[e.val_off]);
+      else if (e.tag == 4) { lon = dms(t, e); got_lon = true; }
+      else if (e.tag == 5 && e.count >= 1) alt_ref = t.p[e.val_off];
+      else if (e.tag == 6 && e.type == 5) alt = t.rational(e.val_off);
+    });
+    if (got_lat && got_lon) {
+      out->lat = lat_ref == 'S' ? -lat : lat;
+      out->lon = lon_ref == 'W' ? -lon : lon;
+      out->alt = alt_ref == 1 ? -alt : alt;
+      out->has |= 4;
+    }
+  }
+  return out->has != 0;
+}
+
+// Find the EXIF APP1 payload inside a JPEG and parse it.
+inline bool parse_jpeg_file(const char* path, Result* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  uint8_t hdr[2];
+  if (fread(hdr, 1, 2, f) != 2 || hdr[0] != 0xFF || hdr[1] != 0xD8) {
+    fclose(f);
+    return false;
+  }
+  bool found = false;
+  std::vector<uint8_t> buf;
+  for (int seg = 0; seg < 64; ++seg) {  // markers precede scan data
+    uint8_t mk[2];
+    if (fread(mk, 1, 2, f) != 2 || mk[0] != 0xFF) break;
+    if (mk[1] == 0xD9 || mk[1] == 0xDA) break;  // EOI / SOS
+    uint8_t ln[2];
+    if (fread(ln, 1, 2, f) != 2) break;
+    size_t len = (size_t(ln[0]) << 8 | ln[1]);
+    if (len < 2) break;
+    len -= 2;
+    if (mk[1] == 0xE1 && len > 6) {
+      buf.resize(len);
+      if (fread(buf.data(), 1, len, f) != len) break;
+      if (memcmp(buf.data(), "Exif\0\0", 6) == 0 &&
+          parse_tiff(buf.data() + 6, len - 6, out)) {
+        found = true;
+        break;
+      }
+    } else if (fseek(f, long(len), SEEK_CUR) != 0) {
+      break;
+    }
+  }
+  fclose(f);
+  return found;
+}
+
+}  // namespace exif
+
 extern "C" {
 
 // Returns 1 on success; fills w/h/channels without full decode where cheap
@@ -287,4 +463,29 @@ int tsfm_load_batch(const char** paths, int n, int w, int h, float* out_gray,
   return ok_count.load();
 }
 
-}  // extern "C"
+
+// EXIF metadata of a JPEG: focal length (mm), 35mm-equivalent focal, GPS
+// (lat/lon deg, alt m), camera make/model. Returns a bitmask of what was
+// found (1 focal, 2 focal35, 4 gps, 8 make/model); 0 = none / not a JPEG.
+int tsfm_exif(const char* path, double* focal_mm, double* focal35,
+              double* lat, double* lon, double* alt,
+              char* make, int make_cap, char* model, int model_cap) {
+  exif::Result r;
+  if (!exif::parse_jpeg_file(path, &r)) return 0;
+  if (focal_mm) *focal_mm = r.focal_mm;
+  if (focal35) *focal35 = r.focal35;
+  if (lat) *lat = r.lat;
+  if (lon) *lon = r.lon;
+  if (alt) *alt = r.alt;
+  if (make && make_cap > 0) {
+    strncpy(make, r.make, size_t(make_cap) - 1);
+    make[make_cap - 1] = 0;
+  }
+  if (model && model_cap > 0) {
+    strncpy(model, r.model, size_t(model_cap) - 1);
+    model[model_cap - 1] = 0;
+  }
+  return r.has;
+}
+
+}  // extern "C"\n

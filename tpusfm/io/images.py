@@ -115,10 +115,25 @@ def read_image_record(
     with Image.open(path) as img:
         w, h = img.size
         exif = _exif_of(img)
-    make = str(exif.get(271, "")).strip()
-    model = str(exif.get(272, "")).strip()
-    cam = f"{make} {model}".strip() or None
-    focal_mm = exif.get(0x920A)  # FocalLength
+    # Prefer the native C++ EXIF parser for JPEGs (tsfm_exif — the
+    # counterpart of the reference's Exif_IO_EasyExif); PIL covers the rest.
+    nat = None
+    if Path(path).suffix.lower() in (".jpg", ".jpeg"):
+        from . import native_ingest
+
+        nat = native_ingest.exif_info(path) if native_ingest.available() else None
+    if nat:
+        make = nat.get("make", "").strip()
+        model = nat.get("model", "").strip()
+        cam = f"{make} {model}".strip() or None
+        focal_mm = nat.get("focal_mm")
+        gps = nat.get("gps")
+    else:
+        make = str(exif.get(271, "")).strip()
+        model = str(exif.get(272, "")).strip()
+        cam = f"{make} {model}".strip() or None
+        focal_mm = exif.get(0x920A)  # FocalLength
+        gps = _gps_of(exif)
     focal_px = None
     if focal_mm:
         try:
@@ -136,7 +151,7 @@ def read_image_record(
         focal_px = max(w, h) / (2.0 * np.tan(np.radians(default_fov_deg) / 2.0))
     return ImageRecord(
         path=str(path), width=w, height=h, focal_px=float(focal_px),
-        camera_model=cam, gps=_gps_of(exif),
+        camera_model=cam, gps=gps,
     )
 
 

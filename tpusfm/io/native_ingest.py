@@ -98,3 +98,48 @@ def load_batch(paths, width: int, height: int, gray: bool = True,
         n_threads,
     )
     return gray_arr, rgb_arr, status.astype(bool)
+
+
+def exif_info(path: str | Path) -> dict | None:
+    """Native EXIF metadata of a JPEG (focal mm, 35mm-equivalent focal,
+    GPS lat/lon/alt, camera make/model) — the C++ counterpart of the
+    reference's Exif_IO_EasyExif reads (sparseBuilder.cpp:389-465, getGPS
+    .cpp:112).  Returns a dict with present keys only, or None when the
+    library is unavailable or the file carries no EXIF."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_exif_bound", False):
+        lib.tsfm_exif.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.tsfm_exif.restype = ctypes.c_int
+        lib._exif_bound = True
+    focal = ctypes.c_double()
+    f35 = ctypes.c_double()
+    lat = ctypes.c_double()
+    lon = ctypes.c_double()
+    alt = ctypes.c_double()
+    make = ctypes.create_string_buffer(64)
+    model = ctypes.create_string_buffer(64)
+    has = lib.tsfm_exif(str(path).encode(), ctypes.byref(focal),
+                        ctypes.byref(f35), ctypes.byref(lat),
+                        ctypes.byref(lon), ctypes.byref(alt),
+                        make, 64, model, 64)
+    if has <= 0:
+        return None
+    out: dict = {}
+    if has & 1:
+        out["focal_mm"] = focal.value
+    if has & 2:
+        out["focal_35mm"] = f35.value
+    if has & 4:
+        out["gps"] = (lat.value, lon.value, alt.value)
+    if has & 8:
+        out["make"] = make.value.decode(errors="replace")
+        out["model"] = model.value.decode(errors="replace")
+    return out
