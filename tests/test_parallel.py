@@ -87,3 +87,30 @@ def test_distributed_ba_matches_single_device():
         float(info1["final_cost"]), 1e-9
     )
     assert rel < 0.05
+
+
+def test_distributed_ba_pallas_path_matches_xla():
+    """The pallas obs-table path reduces in point space, so it runs sharded
+    under shard_map too (interpret mode on the CPU mesh)."""
+    s, args = _ba_problem()
+    O = len(s["obs_cam"])
+    m = mesh_mod.make_mesh(8)
+    ocam, opt, ouv, omask = dist_ba.shard_obs_table(
+        s["obs_cam"], s["obs_pt"], s["obs_uv"], np.ones(O, bool), 8
+    )
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = ba.BAConfig(max_iters=5, impl=impl, pallas_interpret=True)
+        outs[impl] = dist_ba.bundle_adjust_sharded(
+            m, obs_cam=ocam, obs_pt=opt, obs_uv=ouv, obs_mask=omask,
+            cfg=cfg, **args
+        )
+    _, rot_x, t_x, _, info_x = outs["xla"]
+    _, rot_p, t_p, _, info_p = outs["pallas"]
+    assert float(info_p["final_cost"]) < float(info_p["initial_cost"])
+    rel = abs(float(info_p["final_cost"]) - float(info_x["final_cost"])) / max(
+        float(info_x["final_cost"]), 1e-9
+    )
+    assert rel < 0.05
+    np.testing.assert_allclose(np.asarray(rot_p), np.asarray(rot_x), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), atol=5e-3)

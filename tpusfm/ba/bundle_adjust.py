@@ -64,10 +64,12 @@ class BAConfig:
                                    # once per solve and runs every SCATTER
                                    # (segment-sum) as an MXU one-hot matmul
                                    # (ops/obs_table.py); gathers stay on XLA
-                                   # (measured faster).  2.5x end-to-end at
-                                   # 500 cams / 1.5M obs on v5e (0.92 -> 2.3
-                                   # LM it/s).  auto = pallas on TPU when
-                                   # not sharded, else xla.
+                                   # (measured faster).  2.7x end-to-end at
+                                   # 500 cams / 1.5M obs on v5e (0.92 -> 2.45
+                                   # LM it/s).  Reductions land in point
+                                   # space, so the path also runs sharded
+                                   # under shard_map (psum like the XLA
+                                   # path).  auto = pallas on TPU.
     pallas_interpret: bool = False  # run the pallas kernels in interpret
                                     # mode (CPU tests of the pallas path)
 
@@ -80,7 +82,7 @@ class BAConfig:
             return True
         if self.impl == "xla":
             return False
-        return jax.default_backend() == "tpu" and self.axis_name is None
+        return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -296,58 +298,71 @@ def _invD(M):
 
 def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
                obs_cam, obs_pt, obs_uv, obs_w, cfg: BAConfig):
-    """LM loop where assembly / Schur matvec / preconditioner run on the
-    obs-table kernels (ops/obs_table.py).  The observation table is sorted
-    by point and the point ids rank-compacted once per solve (the windowed
-    kernels' precondition); point-side state lives in rank space for the
-    whole solve and the total update is scattered back once at the end."""
+    """LM loop where every obs-table SCATTER (assembly, Schur matvec,
+    preconditioner) runs on the MXU one-hot kernels (ops/obs_table.py).
+
+    The observation table is sorted by point id and rank-compacted once per
+    solve (the windowed kernels' precondition); each reduction lands in rank
+    space and is scattered to point space immediately (a ~P-row scatter,
+    negligible), so all state stays in point space.  That makes the path
+    shard_map-compatible: with cfg.axis_name set, each device reduces its
+    observation shard locally and the point/camera systems are psum-reduced
+    exactly like the XLA path (dist_ba)."""
     from ..ops import obs_table as ot
 
     C = cp0.shape[0]
     P = points.shape[0]
     D = cfg.cam_dim
     itp = cfg.pallas_interpret
+    ax = cfg.axis_name
 
     order, ranks, rank_to_pt, rank_valid = ot.sort_and_rank(
         obs_pt, obs_w > 0, P
     )
     obs_cam = obs_cam[order]
+    obs_pt = obs_pt[order]
     obs_uv = obs_uv[order]
     obs_w = obs_w[order]
+    rank_scatter_ids = jnp.where(rank_valid, rank_to_pt, P)
 
     def _gather(table, idx):
         # Per-obs gathers stay on XLA: measured 7 ms/op at 1.5M rows on v5e
         # vs 8-12 ms for the one-hot matmul kernels (ops/obs_table.py
         # docstring) — XLA's native row gather wins, it's the SCATTERS the
-        # pallas segsums replace.  OOB ids (rank sentinels) read row 0 and
-        # are zeroed.
+        # pallas segsums replace.
         n = table.shape[0]
         ok = idx < n
         return jnp.where(ok[:, None], table[jnp.where(ok, idx, 0)], 0.0)
 
-    # Rank-space point state (junk rows carry zero weight via obs_w).
-    pts_r0 = points[rank_to_pt]
-    pm_r = point_mask[rank_to_pt] & rank_valid
-    pt_upd_r = pm_r.astype(jnp.float32)[:, None]
+    def pt_reduce(vals):
+        """(O, Dv) -> per-point sums (P, Dv), psum-reduced when sharded."""
+        red_r = ot.segsum_sorted(vals, ranks, P, interpret=itp)
+        red_p = jnp.zeros((P, vals.shape[1]), vals.dtype).at[rank_scatter_ids].add(
+            jnp.where(rank_valid[:, None], red_r, 0.0), mode="drop"
+        )
+        return _maybe_psum(red_p, ax)
+
+    def cam_reduce(vals):
+        return _maybe_psum(ot.segsum_table(vals, obs_cam, C, interpret=itp), ax)
 
     cam_tab_width = D + 7
 
-    def per_obs_tables(cp, pts_r):
+    def per_obs_tables(cp, pts):
         co = _gather(jnp.concatenate([cp, intr_static], axis=-1), obs_cam)
         cp_o, intr_o = co[:, :D], co[:, D:cam_tab_width]
-        X_o = _gather(pts_r, ranks)
+        X_o = _gather(pts, obs_pt)
         return cp_o, intr_o, X_o
 
-    def cost_of(cp, pts_r):
-        cp_o, intr_o, X_o = per_obs_tables(cp, pts_r)
+    def cost_of(cp, pts):
+        cp_o, intr_o, X_o = per_obs_tables(cp, pts)
         r = jax.vmap(
             lambda c, x, i, u: _residual_one(c, x, i, u, cfg.refine_intrinsics)
         )(cp_o, X_o, intr_o, obs_uv)
-        return robust_cost(r, obs_w, cfg.huber_delta)
+        return _maybe_psum(robust_cost(r, obs_w, cfg.huber_delta), ax)
 
     def lm_step(carry):
-        cp, pts_r, lam, cost, done, it = carry
-        cp_o, intr_o, X_o = per_obs_tables(cp, pts_r)
+        cp, pts, lam, cost, done, it = carry
+        cp_o, intr_o, X_o = per_obs_tables(cp, pts)
         r, Jc, Jp = _obs_jacobians(cp_o, X_o, intr_o, obs_uv,
                                    cfg.refine_intrinsics)
         w = (_huber_weight(r, cfg.huber_delta) * obs_w)[:, None]
@@ -359,18 +374,18 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
             jnp.einsum("oki,okj->oij", Jc, Jc).reshape(-1, D * D),
             jnp.einsum("oki,ok->oi", Jc, r),
         ], axis=-1)
-        camred = ot.segsum_table(camvals, obs_cam, C, interpret=itp)
+        camred = cam_reduce(camvals)
         Hcc = camred[:, : D * D].reshape(C, D, D)
         gc = camred[:, D * D:]
-        # Point side: one fused (O, 12) reduction in rank space.
+        # Point side: one fused (O, 12) reduction.
         ptvals = jnp.concatenate([
             jnp.einsum("oki,okj->oij", Jp, Jp).reshape(-1, 9),
             jnp.einsum("oki,ok->oi", Jp, r),
         ], axis=-1)
-        ptred = ot.segsum_sorted(ptvals, ranks, P, interpret=itp)
+        ptred = pt_reduce(ptvals)
         Hpp = ptred[:, :9].reshape(P, 3, 3)
         gp = ptred[:, 9:]
-        Wo3 = jnp.einsum("oki,okj->oij", Jc, Jp)  # (O, D, 3), sorted order
+        Wo3 = jnp.einsum("oki,okj->oij", Jc, Jp)  # (O, D, 3), point-sorted
 
         eyeD = jnp.eye(D, dtype=cp.dtype)
         eye3 = jnp.eye(3, dtype=cp.dtype)
@@ -379,43 +394,37 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
 
         # rhs = -gc + W Hpp^-1 gp
         z = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
-        zg = _gather(z, ranks)
-        back = jnp.einsum("oij,oj->oi", Wo3, zg)
-        rhs = (-gc + ot.segsum_table(back, obs_cam, C, interpret=itp)) * upd_mask
+        back = jnp.einsum("oij,oj->oi", Wo3, _gather(z, obs_pt))
+        rhs = (-gc + cam_reduce(back)) * upd_mask
 
         # Block-Jacobi preconditioner on the exact S diagonal.
-        Hinv_o = _gather(Hpp_inv.reshape(P, 9), ranks).reshape(-1, 3, 3)
+        Hinv_o = _gather(Hpp_inv.reshape(P, 9), obs_pt).reshape(-1, 3, 3)
         contrib = jnp.einsum("oij,ojk,olk->oil", Wo3, Hinv_o, Wo3)
-        S_diag = Hcc_d - ot.segsum_table(
-            contrib.reshape(-1, D * D), obs_cam, C, interpret=itp
-        ).reshape(C, D, D)
+        S_diag = Hcc_d - cam_reduce(contrib.reshape(-1, D * D)).reshape(C, D, D)
         M_inv = _invD(S_diag)
 
         def mv(v):
             vm = v * upd_mask
             vg = _gather(vm, obs_cam)
             Wv = jnp.einsum("oij,oi->oj", Wo3, vg)
-            y = ot.segsum_sorted(Wv, ranks, P, interpret=itp)
+            y = pt_reduce(Wv)
             zz = jnp.einsum("pij,pj->pi", Hpp_inv, y)
-            zzg = _gather(zz, ranks)
-            bk = jnp.einsum("oij,oj->oi", Wo3, zzg)
-            WHWv = ot.segsum_table(bk, obs_cam, C, interpret=itp)
+            bk = jnp.einsum("oij,oj->oi", Wo3, _gather(zz, obs_pt))
+            WHWv = cam_reduce(bk)
             Hv = jnp.einsum("cij,cj->ci", Hcc_d, vm)
             return (Hv - WHWv) * upd_mask
 
         dc = _pcg(mv, rhs, M_inv, cfg.cg_iters, cfg.cg_tol) * upd_mask
         dcg = _gather(dc, obs_cam)
-        Wtdc = ot.segsum_sorted(
-            jnp.einsum("oij,oi->oj", Wo3, dcg), ranks, P, interpret=itp
-        )
-        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtdc) * pt_upd_r
+        Wtdc = pt_reduce(jnp.einsum("oij,oi->oj", Wo3, dcg))
+        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtdc) * pt_upd
 
         cp_new = cp + dc
-        pts_new = pts_r + dp
+        pts_new = pts + dp
         new_cost = cost_of(cp_new, pts_new)
         accept = (new_cost < cost) & ~done
         cp = jnp.where(accept, cp_new, cp)
-        pts_r = jnp.where(accept, pts_new, pts_r)
+        pts = jnp.where(accept, pts_new, pts)
         cost_out = jnp.where(accept, new_cost, cost)
         lam = jnp.where(
             accept,
@@ -424,22 +433,16 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
         )
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
         done = done | (accept & (rel < 1e-8))
-        return cp, pts_r, lam, cost_out, done, it + 1
+        return cp, pts, lam, cost_out, done, it + 1
 
-    init_cost = cost_of(cp0, pts_r0)
-    (cp, pts_r, lam, final_cost, _, n_it) = jax.lax.while_loop(
+    init_cost = cost_of(cp0, points)
+    (cp, pts, lam, final_cost, _, n_it) = jax.lax.while_loop(
         lambda c: (c[5] < cfg.max_iters) & ~c[4],
         lm_step,
-        (cp0, pts_r0, jnp.float32(cfg.lambda_init), init_cost,
+        (cp0, points, jnp.float32(cfg.lambda_init), init_cost,
          jnp.bool_(False), jnp.int32(0)),
     )
-    # Scatter the total point update back to point space (valid ranks map to
-    # unique point rows; untouched points keep their values).
-    dpt = jnp.where(rank_valid[:, None], pts_r - pts_r0, 0.0)
-    pts_out = points.at[jnp.where(rank_valid, rank_to_pt, P)].add(
-        dpt, mode="drop"
-    )
-    return cp, pts_out, lam, init_cost, final_cost, n_it
+    return cp, pts, lam, init_cost, final_cost, n_it
 
 
 # ---------------------------------------------------------------------------

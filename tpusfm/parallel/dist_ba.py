@@ -55,6 +55,10 @@ def bundle_adjust_sharded(
             P(),
         ),
         out_specs=(P(), P(), P(), P(), P()),
+        # The pallas obs-table kernels can't annotate their out_shapes with
+        # vma; correctness of the replicated outputs is covered by the
+        # equivalence tests against the single-device path.
+        check_vma=False,
     )
     def _run(intr, rot, t, cmask, pts, pmask, ocam, opt, ouv, omask, freem):
         intr2, rot2, t2, pts2, info = ba.bundle_adjust(
