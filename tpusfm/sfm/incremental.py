@@ -318,12 +318,27 @@ class IncrementalEngine:
         cfg = self.cfg
         iu = np.triu_indices(self.V, 1)
         counts = self._pair_counts[iu]
-        order = [
-            oi for oi in np.argsort(counts)[::-1][: cfg.init_candidates]
-            if counts[oi] >= cfg.min_init_matches
-        ]
-        if not order:
+        ranked = [oi for oi in np.argsort(counts)[::-1]
+                  if counts[oi] >= cfg.min_init_matches]
+        if not ranked:
             raise RuntimeError("no valid initial pair (scene too degenerate)")
+        # Walk the count ranking in chunks: on densely-sampled sequences the
+        # highest-count pairs are adjacent views whose triangulation angle
+        # fails min_tri_angle_deg — wider-baseline (lower-count but valid)
+        # pairs sit further down the ranking (COLMAP-style two-criteria
+        # seeding; scene-initializer parity sparseBuilder.cpp:1443-1467).
+        for chunk_start in range(0, min(len(ranked), 8 * cfg.init_candidates),
+                                 cfg.init_candidates):
+            order = ranked[chunk_start: chunk_start + cfg.init_candidates]
+            best, key = self._score_init_candidates(order, iu, key)
+            if best is not None:
+                return best, key
+        raise RuntimeError("no valid initial pair (scene too degenerate)")
+
+    def _score_init_candidates(self, order, iu, key):
+        """Score one chunk of candidate pairs in a single device dispatch;
+        returns (best tuple | None, key)."""
+        cfg = self.cfg
         # Stack all candidates and score them in ONE device dispatch.
         cand = []
         x0s, x1s, valids = [], [], []
@@ -361,9 +376,7 @@ class IncrementalEngine:
             score = n_good * min(med_ang, 20.0)
             if best is None or score > best[0]:
                 best = (score, i, j, R_b[ci], t_b[ci], X_b[ci], good_np, tr)
-        if best is None:
-            raise RuntimeError("no valid initial pair (scene too degenerate)")
-        return best[1:], key
+        return (None if best is None else best[1:]), key
 
     def _pad_pair(self, uvi, uvj, i, j):
         n = self.N
@@ -601,7 +614,15 @@ class IncrementalEngine:
     def run(self, key=None) -> Scene:
         cfg = self.cfg
         key = jax.random.PRNGKey(0) if key is None else key
-        key = self.bootstrap(key)
+        try:
+            key = self.bootstrap(key)
+        except RuntimeError as e:
+            # Graceful degradation (the reference crash-exits via ensure(),
+            # common.h:13-23): an unreconstructable input produces an empty
+            # scene + log entry, and the service reports it as a stage error.
+            self.log.append(f"reconstruction aborted: {e}")
+            self.progress("reconstruction", 1.0)
+            return self.to_scene()
         self.triangulate_new()
         self.run_ba(cfg.step_ba_iters)
         self.wash_outliers()
