@@ -62,18 +62,47 @@ def _solve_epipolar_lstsq(x0n: jnp.ndarray, x1n: jnp.ndarray, w: jnp.ndarray):
     return f.reshape(*f.shape[:-1], 3, 3)
 
 
+def _drop_smallest_singular(F: jnp.ndarray) -> jnp.ndarray:
+    """Rank-2 projection without SVD: F2 = F - sigma3 u3 v3^T, where u3/v3
+    are the smallest singular vectors from inverse iteration on F F^T / F^T F
+    (batched 3x3 SVD measured ~70ms per 16k on v5e — the hypothesis-solver
+    hot spot; this form is a handful of fused VPU ops)."""
+    from .triangulate import smallest_eigvec_sym
+
+    Ft = jnp.swapaxes(F, -1, -2)
+    v3 = smallest_eigvec_sym(Ft @ F, iters=6)      # right
+    u3 = smallest_eigvec_sym(F @ Ft, iters=6)      # left
+    Fv = jnp.einsum("...ij,...j->...i", F, v3)
+    sigma3 = jnp.einsum("...i,...i->...", u3, Fv)
+    return F - sigma3[..., None, None] * (u3[..., :, None] * v3[..., None, :])
+
+
 def _enforce_rank2(F: jnp.ndarray) -> jnp.ndarray:
-    U, S, Vt = jnp.linalg.svd(F)
-    S2 = S.at[..., 2].set(0.0)
-    return U @ (S2[..., :, None] * Vt)
+    return _drop_smallest_singular(F)
 
 
 def _enforce_essential(E: jnp.ndarray) -> jnp.ndarray:
-    """Project onto the essential manifold: singular values -> (s, s, 0)."""
-    U, S, Vt = jnp.linalg.svd(E)
-    s = (S[..., 0] + S[..., 1]) * 0.5
-    S2 = jnp.stack([s, s, jnp.zeros_like(s)], axis=-1)
-    return U @ (S2[..., :, None] * Vt)
+    """Project onto the essential manifold (singular values -> (s, s, 0))
+    without SVD: drop the smallest singular value, then whiten the two
+    remaining singular values EXACTLY with a linear polynomial in
+    A = E2^T E2 — on A's 2-D range, p(A) = c0 I + c1 A maps sigma_i to
+    sigma_i * p(sigma_i^2) = 1 when p interpolates 1/sqrt at A's two nonzero
+    eigenvalues (closed form from the trace invariants; smooth as
+    sigma1 -> sigma2).  E is scale-free, so unit singular values ARE the
+    manifold; callers renormalize."""
+    E2 = _drop_smallest_singular(E)
+    A = jnp.swapaxes(E2, -1, -2) @ E2
+    t1 = jnp.trace(A, axis1=-2, axis2=-1)
+    t2 = jnp.trace(A @ A, axis1=-2, axis2=-1)
+    disc = jnp.sqrt(jnp.maximum(2.0 * t2 - t1 * t1, 0.0))
+    a = jnp.maximum(0.5 * (t1 + disc), 1e-30)
+    b = jnp.clip(0.5 * (t1 - disc), 1e-6 * a, a)
+    sa = jnp.sqrt(a)
+    sb = jnp.sqrt(b)
+    c1 = -1.0 / (sa * sb * (sa + sb))
+    c0 = 1.0 / sa - c1 * a
+    W = c0[..., None, None] * jnp.eye(3, dtype=E.dtype) + c1[..., None, None] * A
+    return E2 @ W
 
 
 def fundamental_8pt(x0: jnp.ndarray, x1: jnp.ndarray, w: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -11,6 +11,44 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _chol_small(A: jnp.ndarray):
+    """Unrolled batched Cholesky of a small SPD matrix (..., n, n) — pure
+    elementwise VPU ops.  XLA's batched `inv`/`solve` lower to pivoted LU
+    (measured ~37ms per 16k 9x9 inverses on v5e); the unrolled factorization
+    is ~free by comparison.  Returns the lower factor as an (n, n) python
+    grid of (...,) scalars."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_solve_small(L, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = b with the unrolled factor; b (..., n)."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def smallest_eigvec_sym(A: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     """Eigenvector of the smallest eigenvalue of a symmetric PSD matrix
     (..., n, n) by shifted inverse iteration.
@@ -18,18 +56,19 @@ def smallest_eigvec_sym(A: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     On TPU, jnp.linalg.eigh lowers to a huge HLO (minutes of compile on the
     remote-compile backend) and runs a full spectral decomposition; DLT only
     needs the bottom eigenvector, and the normal matrices here are tiny
-    (4x4 / 9x9), so one batched inverse + a few matvecs is both faster and
-    ~100x cheaper to compile."""
+    (3x3 / 4x4 / 9x9), so an unrolled Cholesky + a few triangular solves is
+    both faster and ~100x cheaper to compile."""
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
     tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
     B = A + (1e-7 * tr + 1e-20) * eye
-    Binv = jnp.linalg.inv(B)
+    L = _chol_small(B)
     # Start from a fixed generic vector; fp asymmetry breaks pathological
     # orthogonality, and degenerate spectra are filtered by callers' gates.
-    v = jnp.sum(Binv, axis=-1) + 0.25 * Binv[..., -1]
+    ones = jnp.ones(B.shape[:-1], dtype=A.dtype)
+    v = _chol_solve_small(L, ones.at[..., -1].add(0.25))
     for _ in range(iters):
-        v = jnp.einsum("...ij,...j->...i", Binv, v)
+        v = _chol_solve_small(L, v)
         v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
     return v
 

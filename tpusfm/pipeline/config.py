@@ -48,6 +48,10 @@ class GeometricFilterConfig:
     # filter, sparseBuilder.cpp:1160-1237): the inlier threshold adapts to
     # each pair's noise level, bounded above by thresh_px.
     adaptive: bool = False
+    # Hypothesis-selection subset (LO-RANSAC-style): score the I hypotheses
+    # on this many matches, classify the winner's inliers on all matches.
+    # Cuts the dominant I x N scoring FLOPs ~4x at 1k matches; 0 = full.
+    score_subset: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

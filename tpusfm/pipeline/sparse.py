@@ -138,6 +138,11 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
     idx_out = np.zeros((P, N), np.int32)
     valid_out = np.zeros((P, N), bool)
     ch = cfg.matching.pair_chunk
+    if P >= 16 * ch:
+        # Large pair lists amortize per-dispatch latency (~28ms over the
+        # device tunnel) with bigger batches: 19900 pairs at chunk 32 spend
+        # ~17s on dispatch alone.
+        ch = min(8 * ch, 256)
     desc = feats.desc
     mask = feats.mask
     rows = np.arange(P)
@@ -162,9 +167,11 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
     return idx_out, valid_out
 
 
-@partial(jax.jit, static_argnames=("model", "n_iters", "minimal", "adaptive"))
+@partial(jax.jit, static_argnames=("model", "n_iters", "minimal", "adaptive",
+                                   "score_subset"))
 def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh,
-                  minimal: bool = False, adaptive: bool = False, alpha0=1.0):
+                  minimal: bool = False, adaptive: bool = False, alpha0=1.0,
+                  score_subset: int = 0):
     """Vmapped robust model fit over a chunk of pairs (pixel-space F/H).
     minimal=True uses the 7-point minimal solver for 'f' (3 roots per
     sample, 8-point refit) — OpenMVG's AC-RANSAC samples 7-point too.
@@ -196,17 +203,19 @@ def _filter_chunk(keys, x0, x1, valid, model: str, n_iters: int, thresh,
         return ransac_mod.ransac(
             key, a, b, v, solver=solver, scorer=scorer,
             sample_size=sample, n_iters=n_iters, inlier_thresh=thresh,
-            **extra,
+            score_subset=score_subset, **extra,
         )
 
     model_out, inl, n_inl = jax.vmap(one)(keys, x0, x1, valid)
     return inl, n_inl
 
 
-@partial(jax.jit, static_argnames=("n_iters", "minimal", "adaptive"))
+@partial(jax.jit, static_argnames=("n_iters", "minimal", "adaptive",
+                                   "score_subset"))
 def _filter_chunk_essential(keys, x0, x1, valid, intr_a, intr_b, n_iters: int,
                             thresh_px, minimal: bool = False,
-                            adaptive: bool = False, alpha0_px=1.0):
+                            adaptive: bool = False, alpha0_px=1.0,
+                            score_subset: int = 0):
     """Essential-model geometric filter ('e', ESSENTIAL_MATRIX parity,
     sparseBuilder.cpp:1188-1212): correspondences are normalized with each
     view's intrinsics and scored on the essential manifold.  minimal=True
@@ -238,7 +247,7 @@ def _filter_chunk_essential(keys, x0, x1, valid, intr_a, intr_b, n_iters: int,
             key, an, bn, v,
             solver=solver, scorer=epipolar.sampson_error,
             sample_size=sample, n_iters=n_iters, inlier_thresh=thresh_px / f_mean,
-            **extra,
+            score_subset=score_subset, **extra,
         )
 
     model_out, inl, n_inl = jax.vmap(one)(keys, x0, x1, valid, intr_a, intr_b)
@@ -270,6 +279,8 @@ def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
     P = len(pair_list)
     N = feats.kp.shape[1]
     ch = cfg.matching.pair_chunk
+    if P >= 16 * ch:
+        ch = min(8 * ch, 256)  # amortize dispatch latency (see match_pairs)
     kp = feats.kp
     out_valid = np.zeros_like(match_valid)
     pair_ok = np.zeros(P, bool)
@@ -296,12 +307,14 @@ def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
                 jnp.asarray(intr_np[pl_pad[:, 0]]), jnp.asarray(intr_np[pl_pad[:, 1]]),
                 cfg.filter.max_iterations, cfg.filter.thresh_px,
                 cfg.filter.minimal_solver, cfg.filter.adaptive, alpha0,
+                score_subset=cfg.filter.score_subset,
             )
         else:
             inl, n_inl = _filter_chunk(
                 keys, x0, x1, jnp.asarray(mv), model,
                 cfg.filter.max_iterations, cfg.filter.thresh_px,
                 cfg.filter.minimal_solver, cfg.filter.adaptive, alpha0,
+                score_subset=cfg.filter.score_subset,
             )
         out_valid[s : s + n] = np.asarray(inl)[:n] & mv[:n]
         progress("filtering", min(1.0, (s + ch) / P))

@@ -38,7 +38,7 @@ def _sample_indices(key, valid: jnp.ndarray, n_iters: int, sample_size: int):
 
 @partial(jax.jit, static_argnames=(
     "solver", "scorer", "sample_size", "n_iters", "refit", "n_candidates",
-    "refit_solver",
+    "refit_solver", "score_subset",
 ))
 def ransac(
     key: jax.Array,
@@ -53,6 +53,7 @@ def ransac(
     refit: bool = True,
     n_candidates: int = 1,
     refit_solver: Callable | None = None,
+    score_subset: int = 0,
 ):
     """Generic two-array RANSAC.
 
@@ -70,7 +71,7 @@ def ransac(
 
     Returns (model, inliers (N,) bool, n_inliers).
     """
-    k1, _ = jax.random.split(key)
+    k1, k_sub = jax.random.split(key)
     idx = _sample_indices(k1, valid, n_iters, sample_size)  # (I, S)
     if n_candidates > 1:
         models, ok = solver(x0[idx], x1[idx])  # tree (I, K, ...), (I, K)
@@ -81,15 +82,34 @@ def ransac(
     else:
         models = solver(x0[idx], x1[idx])  # (I, ...)
         ok = None
-    errs = scorer(models, x0[None], x1[None])  # (I[*K], N)
     t2 = inlier_thresh * inlier_thresh
-    inl = (errs < t2) & valid[None]
-    counts = jnp.sum(inl, axis=-1)
-    if ok is not None:
-        counts = jnp.where(ok, counts, -1)
-    best = jnp.argmax(counts)
-    best_model = jax.tree_util.tree_map(lambda m: m[best], models)
-    best_inl = inl[best]
+    n_pts = x0.shape[0]
+    if score_subset and score_subset < n_pts:
+        # Hypothesis selection on a random subset of the valid matches (the
+        # LO-RANSAC/SPRT-style trick): full hypothesis x match scoring is
+        # the dominant FLOP cost at thousands of pairs; the winner's inliers
+        # are classified exactly on ALL matches below.  Subset-count std is
+        # ~sqrt(p(1-p)/M) (~3% at M=256); the full refit absorbs a
+        # near-best pick.
+        r = jnp.where(valid, jax.random.uniform(k_sub, (n_pts,)), 2.0)
+        sub = jnp.argsort(r)[:score_subset]
+        errs_s = scorer(models, x0[sub][None], x1[sub][None])
+        counts = jnp.sum((errs_s < t2) & valid[sub][None], axis=-1)
+        if ok is not None:
+            counts = jnp.where(ok, counts, -1)
+        best = jnp.argmax(counts)
+        best_model = jax.tree_util.tree_map(lambda m: m[best], models)
+        errs_b = scorer(best_model, x0, x1)
+        best_inl = (errs_b < t2) & valid
+    else:
+        errs = scorer(models, x0[None], x1[None])  # (I[*K], N)
+        inl = (errs < t2) & valid[None]
+        counts = jnp.sum(inl, axis=-1)
+        if ok is not None:
+            counts = jnp.where(ok, counts, -1)
+        best = jnp.argmax(counts)
+        best_model = jax.tree_util.tree_map(lambda m: m[best], models)
+        best_inl = inl[best]
     if refit:
         fit = refit_solver if refit_solver is not None else solver
         w = best_inl.astype(x0.dtype)
