@@ -72,6 +72,15 @@ class BAConfig:
                                    # path).  auto = pallas on TPU.
     pallas_interpret: bool = False  # run the pallas kernels in interpret
                                     # mode (CPU tests of the pallas path)
+    # Direct dense-Schur solve for small camera systems: when the reduced
+    # camera system is at most this many scalars wide (C * cam_dim), assemble
+    # S densely and solve by Cholesky instead of running PCG.  A 20-camera
+    # step-BA's S is 120x120 — one small factorization beats 50 CG sweeps
+    # over the observation table (each a gather+segment-sum pass).  PCG
+    # remains the at-scale path (500 cams -> S is 3000x3000 and the (P, C)
+    # scatter table would not fit).
+    dense_schur_max_dim: int = 384
+    dense_schur_max_bytes: int = 256 * 1024 * 1024  # cap on the (P, C, D, 3) table
 
     @property
     def cam_dim(self) -> int:
@@ -278,6 +287,49 @@ def _pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
 
     x, r, *_ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
     return x
+
+
+def _dense_schur_solve(Hcc_d, Hpp_inv, Wo3, obs_cam, obs_pt, rhs, upd_mask,
+                       axis_name=None):
+    """Assemble the reduced camera system S = Hcc - W Hpp^-1 W^T densely and
+    solve S dc = rhs by Cholesky.  Exact (no CG truncation) and a single
+    small factorization — the fast path for step-BAs with few cameras.
+
+    Per-point camera coupling is gathered into a (P, C, D, 3) table with one
+    segment-sum over linearized (point, cam) ids; the off-diagonal Schur
+    blocks are then two batched einsum contractions on the MXU."""
+    C, D = Hcc_d.shape[0], Hcc_d.shape[-1]
+    P = Hpp_inv.shape[0]
+    lin = obs_pt * C + obs_cam
+    Wp = jax.ops.segment_sum(Wo3.reshape(-1, D * 3), lin, P * C).reshape(P, C, D, 3)
+    A = jnp.einsum("pcdk,pkl->pcdl", Wp, Hpp_inv)
+    S2 = jnp.einsum("pcdl,pejl->cdej", A, Wp)  # (C, D, C, D)
+    S2 = _maybe_psum(S2, axis_name)
+    idx = jnp.arange(C)
+    S = (-S2).at[idx, :, idx, :].add(Hcc_d)
+    # Freeze fixed cameras: zero their rows/cols, identity diagonal (keeps
+    # S symmetric positive definite; their rhs is already zero).
+    m = upd_mask[:, 0]
+    S = S * (m[:, None, None, None] * m[None, None, :, None])
+    eyeD = jnp.eye(D, dtype=S.dtype)
+    S = S.at[idx, :, idx, :].add((1.0 - m)[:, None, None] * eyeD)
+    Sm = S.reshape(C * D, C * D)
+    L = jnp.linalg.cholesky(Sm)
+    from jax.scipy.linalg import solve_triangular
+
+    y = solve_triangular(L, rhs.reshape(C * D), lower=True)
+    dc = solve_triangular(L.T, y, lower=False).reshape(C, D)
+    # A failed factorization (non-PD from extreme conditioning) falls back
+    # to the zero step — LM rejects it and raises lambda.
+    dc = jnp.where(jnp.all(jnp.isfinite(dc)), dc, 0.0)
+    return dc * upd_mask
+
+
+def _dense_eligible(C, P, D, cfg: BAConfig) -> bool:
+    return (
+        C * D <= cfg.dense_schur_max_dim
+        and P * C * D * 3 * 4 <= cfg.dense_schur_max_bytes
+    )
 
 
 def _inv3(M):
@@ -508,7 +560,10 @@ def bundle_adjust(
     cp0 = _pack_cam_params(intr, cam_rot, cam_t, cfg)
     intr_static = intr
 
-    if cfg.use_pallas():
+    # Small camera systems take the dense direct-Schur XLA path even on TPU:
+    # the pallas one-hot segment-sums pay off on million-row obs tables, not
+    # on the small step-BA problems the dense solve targets.
+    if cfg.use_pallas() and not _dense_eligible(C, P, D, cfg):
         cp, pts, lam, init_cost, final_cost, n_it = _lm_pallas(
             cp0, points, intr_static, point_mask, upd_mask, pt_upd,
             obs_cam, obs_pt, obs_uv, obs_w, cfg,
@@ -552,15 +607,19 @@ def bundle_adjust(
         rhs = -gc + _maybe_psum(jax.ops.segment_sum(back, obs_cam, C), cfg.axis_name)
         rhs = rhs * upd_mask
 
-        S_diag = _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, cfg,
-                                    cfg.axis_name)
-        M_inv = _invD(S_diag)
+        if _dense_eligible(C, P, D, cfg):
+            dc = _dense_schur_solve(Hcc_d, Hpp_inv, Wo3, obs_cam, obs_pt,
+                                    rhs, upd_mask, cfg.axis_name)
+        else:
+            S_diag = _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, cfg,
+                                        cfg.axis_name)
+            M_inv = _invD(S_diag)
 
-        def mv(v):
-            return _schur_matvec(v * upd_mask, Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, P,
-                                 cfg.axis_name) * upd_mask
+            def mv(v):
+                return _schur_matvec(v * upd_mask, Hcc_d, Hpp_inv, Wo, obs_cam,
+                                     obs_pt, C, P, cfg.axis_name) * upd_mask
 
-        dc = _pcg(mv, rhs, M_inv, cfg.cg_iters, cfg.cg_tol) * upd_mask
+            dc = _pcg(mv, rhs, M_inv, cfg.cg_iters, cfg.cg_tol) * upd_mask
         # Back-substitute points: dp = -Hpp^-1 (gp + W^T dc)
         Wtdc = _maybe_psum(jax.ops.segment_sum(
             jnp.einsum("oij,oi->oj", Wo3, dc[obs_cam]), obs_pt, P
