@@ -31,7 +31,13 @@ def _problem(C=12, P=300, noise=1.5, seed=0):
 
 def test_pallas_path_matches_xla():
     args = _problem()
-    cfg_x = ba.BAConfig(max_iters=8, cg_iters=40, impl="xla")
+    # dense_schur_max_dim=0 keeps the XLA side on the same PCG algorithm as
+    # the pallas path, so the comparison isolates the segment-sum kernels.
+    # (With the dense direct solve enabled the two sides take different —
+    # both exact — solve algorithms and drift apart along the scene's scale
+    # gauge freedom while reaching the same cost.)
+    cfg_x = ba.BAConfig(max_iters=8, cg_iters=40, impl="xla",
+                        dense_schur_max_dim=0)
     cfg_p = ba.BAConfig(max_iters=8, cg_iters=40, impl="pallas",
                         pallas_interpret=True)
     ix, rx, tx, px, infx = ba.bundle_adjust(cfg=cfg_x, **args)
@@ -59,7 +65,8 @@ def test_pallas_path_masked_obs_and_points():
 
     cfg_p = ba.BAConfig(max_iters=5, cg_iters=30, impl="pallas",
                         pallas_interpret=True)
-    cfg_x = ba.BAConfig(max_iters=5, cg_iters=30, impl="xla")
+    cfg_x = ba.BAConfig(max_iters=5, cg_iters=30, impl="xla",
+                        dense_schur_max_dim=0)
     ip, rp, tp, pp, infp = ba.bundle_adjust(cfg=cfg_p, **args)
     ix, rx, tx, px, infx = ba.bundle_adjust(cfg=cfg_x, **args)
     assert float(infp["final_cost"]) <= float(infp["initial_cost"])

@@ -50,6 +50,16 @@ class BAConfig:
     lambda_down: float = 0.5
     lambda_min: float = 1e-10
     lambda_max: float = 1e8
+    converge_rtol: float = 3e-6    # accepted-step relative improvement below
+                                   # this = converged.  Must sit above fp32
+                                   # cost resolution (ulp/cost ~ 6e-8..1e-7,
+                                   # and the summed cost carries reduction-
+                                   # order noise ~10x that): a tighter value
+                                   # makes the LM loop wander the flat
+                                   # post-convergence valley on noise-driven
+                                   # marginal accepts, so single-device and
+                                   # sharded solves (different reduction
+                                   # orders) would diverge after convergence.
     fix_first_cam: bool = True     # gauge (BundleAdjuster.h:105)
     obs_chunk: int = 65536         # obs per assembly chunk: per-obs (D, D)
                                    # blocks tile to (8, 128) on TPU (20-40x
@@ -80,7 +90,9 @@ class BAConfig:
     # remains the at-scale path (500 cams -> S is 3000x3000 and the (P, C)
     # scatter table would not fit).
     dense_schur_max_dim: int = 384
-    dense_schur_max_bytes: int = 256 * 1024 * 1024  # cap on the (P, C, D, 3) table
+    dense_schur_max_bytes: int = 256 * 1024 * 1024  # cap on peak coupling-table
+                                   # residency (~2x the (P, C, D, 3) table:
+                                   # Wp plus the intermediate A = Wp @ Hpp_inv)
 
     @property
     def cam_dim(self) -> int:
@@ -297,14 +309,20 @@ def _dense_schur_solve(Hcc_d, Hpp_inv, Wo3, obs_cam, obs_pt, rhs, upd_mask,
 
     Per-point camera coupling is gathered into a (P, C, D, 3) table with one
     segment-sum over linearized (point, cam) ids; the off-diagonal Schur
-    blocks are then two batched einsum contractions on the MXU."""
+    blocks are then two batched einsum contractions on the MXU.
+
+    Sharded correctness: Wp must be psum-reduced BEFORE the quadratic
+    contraction — a per-shard Wp would drop every cross-shard coupling term
+    W_pc Hpp^-1 W_pe^T where the two observations of point p live on
+    different devices (S is quadratic in W, so psum-ing S2 after the einsum
+    is wrong)."""
     C, D = Hcc_d.shape[0], Hcc_d.shape[-1]
     P = Hpp_inv.shape[0]
     lin = obs_pt * C + obs_cam
     Wp = jax.ops.segment_sum(Wo3.reshape(-1, D * 3), lin, P * C).reshape(P, C, D, 3)
+    Wp = _maybe_psum(Wp, axis_name)
     A = jnp.einsum("pcdk,pkl->pcdl", Wp, Hpp_inv)
     S2 = jnp.einsum("pcdl,pejl->cdej", A, Wp)  # (C, D, C, D)
-    S2 = _maybe_psum(S2, axis_name)
     idx = jnp.arange(C)
     S = (-S2).at[idx, :, idx, :].add(Hcc_d)
     # Freeze fixed cameras: zero their rows/cols, identity diagonal (keeps
@@ -326,10 +344,28 @@ def _dense_schur_solve(Hcc_d, Hpp_inv, Wo3, obs_cam, obs_pt, rhs, upd_mask,
 
 
 def _dense_eligible(C, P, D, cfg: BAConfig) -> bool:
+    # Peak residency is ~2x the (P, C, D, 3) table: the intermediate
+    # A = einsum(Wp, Hpp_inv) materializes a second table of identical
+    # size, so the byte cap is applied to 2x the table.
     return (
         C * D <= cfg.dense_schur_max_dim
-        and P * C * D * 3 * 4 <= cfg.dense_schur_max_bytes
+        and 2 * P * C * D * 3 * 4 <= cfg.dense_schur_max_bytes
     )
+
+
+def _damp_blocks(H, lam):
+    """Marquardt-scaled LM damping: H + lam * diag(H) (Ceres' default
+    scaling).  Scale-invariant — focal entries (~1e6) and rotation entries
+    (~1) are damped proportionally — and it keeps the reduced camera system
+    well-conditioned along the scene's scale-gauge null direction even at
+    tiny lam (additive lam*I leaves that eigenvalue at ~lam, amplifying
+    fp32 reduction-order noise by 1/lam into gauge drift; with diag scaling
+    the floor is lam * typical-diagonal instead).  Diagonal entries of
+    masked/empty blocks are floored so the blocks stay invertible."""
+    n = H.shape[-1]
+    idx = jnp.arange(n)
+    d = jnp.maximum(H[..., idx, idx], 1e-6)
+    return H.at[..., idx, idx].add(lam * d)
 
 
 def _inv3(M):
@@ -439,10 +475,8 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
         gp = ptred[:, 9:]
         Wo3 = jnp.einsum("oki,okj->oij", Jc, Jp)  # (O, D, 3), point-sorted
 
-        eyeD = jnp.eye(D, dtype=cp.dtype)
-        eye3 = jnp.eye(3, dtype=cp.dtype)
-        Hcc_d = Hcc + lam * eyeD[None]
-        Hpp_inv = _inv3(Hpp + lam * eye3[None])
+        Hcc_d = _damp_blocks(Hcc, lam)
+        Hpp_inv = _inv3(_damp_blocks(Hpp, lam))
 
         # rhs = -gc + W Hpp^-1 gp
         z = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
@@ -484,7 +518,7 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
             jnp.minimum(lam * cfg.lambda_up, cfg.lambda_max),
         )
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
-        done = done | (accept & (rel < 1e-8))
+        done = done | (accept & (rel < cfg.converge_rtol))
         return cp, pts, lam, cost_out, done, it + 1
 
     init_cost = cost_of(cp0, points)
@@ -560,10 +594,12 @@ def bundle_adjust(
     cp0 = _pack_cam_params(intr, cam_rot, cam_t, cfg)
     intr_static = intr
 
-    # Small camera systems take the dense direct-Schur XLA path even on TPU:
-    # the pallas one-hot segment-sums pay off on million-row obs tables, not
-    # on the small step-BA problems the dense solve targets.
-    if cfg.use_pallas() and not _dense_eligible(C, P, D, cfg):
+    # Small camera systems take the dense direct-Schur XLA path on TPU when
+    # impl is "auto": the pallas one-hot segment-sums pay off on million-row
+    # obs tables, not on the small step-BA problems the dense solve targets.
+    # An explicit impl="pallas" is always honored (tests rely on it to
+    # exercise the kernels on dense-eligible sizes).
+    if cfg.impl == "pallas" or (cfg.use_pallas() and not _dense_eligible(C, P, D, cfg)):
         cp, pts, lam, init_cost, final_cost, n_it = _lm_pallas(
             cp0, points, intr_static, point_mask, upd_mask, pt_upd,
             obs_cam, obs_pt, obs_uv, obs_w, cfg,
@@ -594,12 +630,9 @@ def bundle_adjust(
             cp, pts, intr_static, obs_cam, obs_pt, obs_uv, obs_w, cfg
         )
         Wo3 = Wo.reshape(-1, D, 3)
-        eyeD = jnp.eye(D, dtype=cp.dtype)
-        eye3 = jnp.eye(3, dtype=cp.dtype)
-        # Additive LM damping on the diagonal blocks.
-        Hcc_d = Hcc + lam * eyeD[None]
-        Hpp_d = Hpp + lam * eye3[None]
-        Hpp_inv = _inv3(Hpp_d)
+        # Marquardt-scaled LM damping on the diagonal blocks.
+        Hcc_d = _damp_blocks(Hcc, lam)
+        Hpp_inv = _inv3(_damp_blocks(Hpp, lam))
 
         # Reduced system: S dc = -gc + W Hpp^-1 gp
         z = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
@@ -640,7 +673,7 @@ def bundle_adjust(
         )
         # Converged when an accepted step barely improves the cost.
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
-        done = done | (accept & (rel < 1e-8))
+        done = done | (accept & (rel < cfg.converge_rtol))
         return cp, pts, lam, cost_out, done, it + 1
 
     init_cost = cost_of(cp0, points)
