@@ -23,6 +23,9 @@ def orbit_scene(
     focal: float = 800.0,
     min_track_len: int = 2,
     vis_prob: float = 0.85,
+    k1: float = 0.0,
+    k2: float = 0.0,
+    k3: float = 0.0,
 ):
     """Cameras orbit a point cloud at the origin ("tabletop" sequence).
 
@@ -31,7 +34,7 @@ def orbit_scene(
     points visible (in front + in frame + bernoulli(vis_prob))."""
     rng = np.random.default_rng(seed)
     X = rng.uniform([-1.5, -1.5, -1.5], [1.5, 1.5, 1.5], size=(n_points, 3))
-    intr = np.array([focal, focal, img_w / 2, img_h / 2, 0, 0, 0], np.float32)
+    intr = np.array([focal, focal, img_w / 2, img_h / 2, k1, k2, k3], np.float32)
 
     angles = np.radians(np.linspace(0, arc_deg, n_cams))
     centers = np.stack(
@@ -55,7 +58,10 @@ def orbit_scene(
     for ci in range(n_cams):
         Xc = X @ R[ci].T + t[ci]
         z = Xc[:, 2]
-        uv = Xc[:, :2] / z[:, None] * focal + np.array([img_w / 2, img_h / 2])
+        xn = Xc[:, :2] / z[:, None]
+        r2 = np.sum(xn * xn, axis=-1, keepdims=True)
+        xn = xn * (1.0 + r2 * (k1 + r2 * (k2 + r2 * k3)))
+        uv = xn * focal + np.array([img_w / 2, img_h / 2])
         vis = (
             (z > 0.5)
             & (uv[:, 0] >= 0) & (uv[:, 0] < img_w)

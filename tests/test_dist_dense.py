@@ -24,14 +24,15 @@ def test_sharded_sweep_matches_local():
     ))
     K = jnp.asarray(np.array(
         [[gt["intr"][0], 0, W / 2], [0, gt["intr"][1], H / 2], [0, 0, 1]], np.float32))
-    sidx, Rr, tr, invd = dist_dense.pack_sweep_inputs(sc, list(range(V)), cfg, 24)
+    sidx, Rr, tr, invd, _lo, _hi = dist_dense.pack_sweep_inputs(sc, list(range(V)), cfg, 24)
+    Ks = jnp.broadcast_to(K, (V, 3, 3))
 
     d_local, c_local = dist_dense.plane_sweep_all_views(
-        norm, K, jnp.asarray(sidx), jnp.asarray(Rr), jnp.asarray(tr), jnp.asarray(invd), cfg
+        norm, Ks, jnp.asarray(sidx), jnp.asarray(Rr), jnp.asarray(tr), jnp.asarray(invd), cfg
     )
     m = mesh_mod.make_mesh(8)
     d_shard, c_shard = dist_dense.plane_sweep_sharded(
-        m, norm, K, jnp.asarray(sidx), jnp.asarray(Rr), jnp.asarray(tr), jnp.asarray(invd), cfg
+        m, norm, Ks, jnp.asarray(sidx), jnp.asarray(Rr), jnp.asarray(tr), jnp.asarray(invd), cfg
     )
     # Reduction-order float noise shifts the parabolic sub-plane refinement
     # slightly; agreement to ~0.1% of depth is exact for practical purposes.

@@ -46,7 +46,9 @@ def _sweep(setup, n_planes=32):
                               dtype=jnp.float32)
     d, c = dense_depth.plane_sweep_depth(
         jnp.asarray(norm[setup["v"]]), jnp.asarray(norm[setup["srcs"]]),
-        jnp.asarray(setup["K"]), jnp.asarray(setup["R_rel"]),
+        jnp.asarray(setup["K"]),
+        jnp.broadcast_to(jnp.asarray(setup["K"]), (len(setup["srcs"]), 3, 3)),
+        jnp.asarray(setup["R_rel"]),
         jnp.asarray(setup["t_rel"]), inv_depths, cfg,
     )
     return np.asarray(d), np.asarray(c)
@@ -70,7 +72,9 @@ def test_patchmatch_beats_plane_sweep(setup):
     d_pm, c_pm, n_pm = jax.device_get(pm.patchmatch_refine(
         jnp.asarray(setup["images"][setup["v"]]),
         jnp.asarray(setup["images"][setup["srcs"]]),
-        jnp.asarray(setup["K"]), jnp.asarray(setup["R_rel"]),
+        jnp.asarray(setup["K"]),
+        jnp.broadcast_to(jnp.asarray(setup["K"]), (len(setup["srcs"]), 3, 3)),
+        jnp.asarray(setup["R_rel"]),
         jnp.asarray(setup["t_rel"]),
         1.0 / jnp.maximum(jnp.asarray(d_sweep), 1e-9),
         jnp.float32(1.0 / setup["hi"]), jnp.float32(1.0 / setup["lo"]),
@@ -92,7 +96,9 @@ def test_patchmatch_recovers_slanted_normals(setup):
     d_pm, c_pm, n_pm = jax.device_get(pm.patchmatch_refine(
         jnp.asarray(setup["images"][setup["v"]]),
         jnp.asarray(setup["images"][setup["srcs"]]),
-        jnp.asarray(setup["K"]), jnp.asarray(setup["R_rel"]),
+        jnp.asarray(setup["K"]),
+        jnp.broadcast_to(jnp.asarray(setup["K"]), (len(setup["srcs"]), 3, 3)),
+        jnp.asarray(setup["R_rel"]),
         jnp.asarray(setup["t_rel"]),
         1.0 / jnp.maximum(jnp.asarray(d_sweep), 1e-9),
         jnp.float32(1.0 / setup["hi"]), jnp.float32(1.0 / setup["lo"]),

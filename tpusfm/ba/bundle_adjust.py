@@ -1,26 +1,40 @@
 """Huber-robust bundle adjustment: Levenberg-Marquardt with a matrix-free
-Schur-complement solve.
+Schur-complement solve and shared self-calibrating intrinsics.
 
-Capability parity with the reference BA (src/adjuster/BundleAdjuster.h):
+Capability parity with the reference BA:
 - residual = reproject(angle-axis, t, intrinsics, X) - uv, 2 per observation
-  (ReprojectCost::operator(), BundleAdjuster.h:40-68)
+  (ReprojectCost::operator(), src/adjuster/BundleAdjuster.h:40-68)
 - Huber loss delta = 4 px (BundleAdjuster.h:109)
-- gauge: first camera held constant (BundleAdjuster.h:105)
-- parameter blocks: camera 6 (aa + t) (+4 intrinsics fx,fy,cx,cy when
-  refine_intrinsics, mirroring the 4-param intrinsic block at :82-86),
-  point 3
+- gauge: first camera pose held constant (BundleAdjuster.h:105)
+- intrinsics: the production engine's default camera model is
+  PINHOLE_CAMERA_RADIAL3 (src/sparseBuilder/sparseBuilder.cpp:480-502) with
+  one intrinsic block SHARED by all views from the same physical camera
+  (GroupSharedIntrinsics, sparseBuilder.cpp:554-556) and BA refining
+  focal + principal point + k1/k2/k3 (ADJUST_ALL, sparseBuilder.cpp:1292-1293).
+  Here that is a separate (G, 7) parameter table [fx,fy,cx,cy,k1,k2,k3] with
+  a per-camera group id; cfg.refine_params picks the refined subset
+  ("focal" | "focal_pp" | "all" — OpenMVG's Intrinsic_Parameter_Type).
 - solver: the reference uses Ceres SPARSE_SCHUR + JACOBI + EIGEN_SPARSE on
-  one thread (:167-174).  CPU sparse Cholesky does not map to the MXU; the
-  TPU-native equivalent (SURVEY.md §7 hard part 3) eliminates points exactly
-  (3x3 block inverses, embarrassingly parallel) and solves the reduced
-  camera system with block-Jacobi preconditioned CG where every operation
-  is a segment-sum / gather over the observation table — no sparse matrix
-  is ever materialized, and every step is an O(obs) dense-batched kernel.
+  one thread (BundleAdjuster.h:167-174).  CPU sparse Cholesky does not map
+  to the MXU; the TPU-native equivalent (SURVEY.md §7 hard part 3)
+  eliminates points exactly (3x3 block inverses, embarrassingly parallel)
+  and solves the reduced [pose | intrinsic-group] system with block-Jacobi
+  preconditioned CG where every operation is a segment-sum / gather over
+  the observation table — no sparse matrix is ever materialized, and every
+  step is an O(obs) dense-batched kernel.
+- damping: Marquardt-scaled (lam * diag(H), Ceres' default) — scale
+  invariant across focal (~1e6) / rotation (~1) diagonal entries and keeps
+  the reduced system conditioned along the scene's scale-gauge null
+  direction (additive lam*I leaves that eigenvalue at ~lam and amplifies
+  fp32 reduction noise into gauge drift between differently-sharded runs).
 
-The whole solve is one jit-able function of fixed-capacity arrays; masked
-slots (cameras/points/observations) contribute zeros.  This same structure
-shards over a device mesh by partitioning the observation table
-(tpusfm.parallel.dist_ba).
+Parameter blocks: pose 6 (aa + t) per camera, intrinsics 7 per GROUP
+(shared by every camera with the same group id), point 3.  The whole solve
+is one jit-able function of fixed-capacity arrays; masked slots contribute
+zeros.  This same structure shards over a device mesh by partitioning the
+observation table (tpusfm.parallel.dist_ba): all obs-table reductions are
+psum-hooked, and anything quadratic in per-shard partials (the dense-Schur
+coupling tables) is psum-reduced BEFORE contraction.
 """
 
 from __future__ import annotations
@@ -34,12 +48,24 @@ import jax.numpy as jnp
 from ..core import camera as cam
 from ..core import lie
 
+POSE_DIM = 6
+INTR_DIM = 7
+
+_REFINE_MASKS = {
+    "focal": (1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+    "focal_pp": (1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0),
+    "all": (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class BAConfig:
     max_iters: int = 20            # LM outer iterations
     huber_delta: float = 4.0       # px (BundleAdjuster.h:109)
-    refine_intrinsics: bool = False  # ADJUST_ALL parity (sparseBuilder.cpp:1292)
+    refine_intrinsics: bool = False  # refine the shared intrinsic blocks
+    refine_params: str = "all"     # which intrinsics refine when enabled:
+                                   # "focal" | "focal_pp" | "all" (ADJUST_ALL
+                                   # parity, sparseBuilder.cpp:1292-1293)
     cg_iters: int = 50
     cg_tol: float = 1e-2       # inexact Newton: CG only needs a descent
                                # direction — LM's accept/reject guards
@@ -60,7 +86,8 @@ class BAConfig:
                                    # marginal accepts, so single-device and
                                    # sharded solves (different reduction
                                    # orders) would diverge after convergence.
-    fix_first_cam: bool = True     # gauge (BundleAdjuster.h:105)
+    fix_first_cam: bool = True     # gauge (BundleAdjuster.h:105): pose only —
+                                   # intrinsic groups refine independently
     obs_chunk: int = 65536         # obs per assembly chunk: per-obs (D, D)
                                    # blocks tile to (8, 128) on TPU (20-40x
                                    # padding), so assembly scans chunks
@@ -82,21 +109,23 @@ class BAConfig:
                                    # path).  auto = pallas on TPU.
     pallas_interpret: bool = False  # run the pallas kernels in interpret
                                     # mode (CPU tests of the pallas path)
-    # Direct dense-Schur solve for small camera systems: when the reduced
-    # camera system is at most this many scalars wide (C * cam_dim), assemble
+    # Direct dense-Schur solve for small reduced systems: when the reduced
+    # system is at most this many scalars wide (C*6 + refined G*7), assemble
     # S densely and solve by Cholesky instead of running PCG.  A 20-camera
     # step-BA's S is 120x120 — one small factorization beats 50 CG sweeps
     # over the observation table (each a gather+segment-sum pass).  PCG
     # remains the at-scale path (500 cams -> S is 3000x3000 and the (P, C)
     # scatter table would not fit).
     dense_schur_max_dim: int = 384
-    dense_schur_max_bytes: int = 256 * 1024 * 1024  # cap on peak coupling-table
-                                   # residency (~2x the (P, C, D, 3) table:
-                                   # Wp plus the intermediate A = Wp @ Hpp_inv)
+    dense_schur_max_bytes: int = 256 * 1024 * 1024  # cap on peak coupling-
+                                   # table residency (~2x the (P, C, 6, 3)
+                                   # [+ (P, G, 7, 3)] tables: W plus the
+                                   # intermediate A = W @ Hpp_inv)
 
-    @property
-    def cam_dim(self) -> int:
-        return 10 if self.refine_intrinsics else 6
+    def refine_mask(self) -> tuple[float, ...]:
+        if not self.refine_intrinsics:
+            return (0.0,) * INTR_DIM
+        return _REFINE_MASKS[self.refine_params]
 
     def use_pallas(self) -> bool:
         if self.impl == "pallas":
@@ -110,35 +139,29 @@ class BAConfig:
 # Residuals and Jacobians
 # ---------------------------------------------------------------------------
 
-def _project_one(cam_params: jnp.ndarray, intr_static: jnp.ndarray, X: jnp.ndarray,
-                 refine_intrinsics: bool) -> jnp.ndarray:
-    """Project one point through one camera given the packed parameter vector
-    [aa(3), t(3)(, fx, fy, cx, cy)]. intr_static carries the full 7-vector
-    (distortion always from here; focal/pp overridden when refined)."""
-    aa = cam_params[:3]
-    t = cam_params[3:6]
-    if refine_intrinsics:
-        intr = jnp.concatenate([cam_params[6:10], intr_static[4:7]])
-    else:
-        intr = intr_static
-    Xc = lie.rotate_aa(aa, X) + t
-    return cam.camera_to_pixel(intr, Xc)
+def _residual_one(pose, intr, X, uv):
+    """Reprojection residual for one observation: pose = [aa(3), t(3)],
+    intr = [fx,fy,cx,cy,k1,k2,k3] (the full RADIAL3 vector — distortion is
+    live in the projection, so refining k1..k3 is just a wider Jacobian)."""
+    Xc = lie.rotate_aa(pose[:3], X) + pose[3:6]
+    return cam.camera_to_pixel(intr, Xc) - uv
 
 
-def _residual_one(cam_params, X, intr_static, uv, refine_intrinsics):
-    return _project_one(cam_params, intr_static, X, refine_intrinsics) - uv
-
-
-def _obs_jacobians(cam_params_o, X_o, intr_o, uv_o, refine_intrinsics: bool):
+def _obs_jacobians(pose_o, intr_o, X_o, uv_o, refine: bool):
     """Per-observation residual + Jacobians, vmapped over the obs table.
-    Returns r (O, 2), Jc (O, 2, D), Jp (O, 2, 3)."""
-    def per_obs(cp, X, intr, uv):
-        r = _residual_one(cp, X, intr, uv, refine_intrinsics)
-        Jc = jax.jacfwd(lambda c: _residual_one(c, X, intr, uv, refine_intrinsics))(cp)
-        Jp = jax.jacfwd(lambda x: _residual_one(cp, x, intr, uv, refine_intrinsics))(X)
-        return r, Jc, Jp
+    Returns r (O, 2), Jc (O, 2, 6), Jg (O, 2, 7) | None, Jp (O, 2, 3)."""
+    def per_obs(ps, gi, X, uv):
+        r = _residual_one(ps, gi, X, uv)
+        Jc = jax.jacfwd(lambda p: _residual_one(p, gi, X, uv))(ps)
+        Jp = jax.jacfwd(lambda x: _residual_one(ps, gi, x, uv))(X)
+        if refine:
+            Jg = jax.jacfwd(lambda g: _residual_one(ps, g, X, uv))(gi)
+        else:
+            Jg = jnp.zeros((2, INTR_DIM), ps.dtype)
+        return r, Jc, Jg, Jp
 
-    return jax.vmap(per_obs)(cam_params_o, X_o, intr_o, uv_o)
+    r, Jc, Jg, Jp = jax.vmap(per_obs)(pose_o, intr_o, X_o, uv_o)
+    return r, Jc, (Jg if refine else None), Jp
 
 
 def _huber_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
@@ -158,7 +181,7 @@ def robust_cost(r: jnp.ndarray, mask: jnp.ndarray, delta: float) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Schur-complement building blocks (all segment-sums over the obs table)
+# Small linear-algebra helpers
 # ---------------------------------------------------------------------------
 
 def _maybe_psum(x, axis_name):
@@ -168,189 +191,6 @@ def _maybe_psum(x, axis_name):
 def _chunk_obs(arrs, n_chunks: int):
     """Reshape leading obs axis to (n_chunks, chunk, ...); O must divide."""
     return [a.reshape(n_chunks, a.shape[0] // n_chunks, *a.shape[1:]) for a in arrs]
-
-
-def _build_system(cam_params, points, intr_static, obs_cam, obs_pt, obs_uv,
-                  obs_w, cfg: BAConfig):
-    """Assemble the segment-summed normal-equation pieces.
-
-    TPU layout note: per-observation block tensors like (O, 6, 6) tile to
-    (8, 128) on their trailing dims — a 20-40x padding blow-up that OOMs at
-    millions of observations.  So (a) assembly runs as a lax.scan over
-    observation chunks, materializing only (chunk, D, D) at a time, and
-    (b) the coupling blocks persist flattened as (O, D*3) (lane dim D*3
-    instead of 3), cutting the resident footprint ~8x."""
-    C = cam_params.shape[0]
-    P = points.shape[0]
-    D = cfg.cam_dim
-    O = obs_cam.shape[0]
-    ax = cfg.axis_name
-    n_chunks = max(1, O // max(cfg.obs_chunk, 1))
-    while O % n_chunks:
-        n_chunks -= 1
-    ocam_c, opt_c, ouv_c, ow_c = _chunk_obs([obs_cam, obs_pt, obs_uv, obs_w], n_chunks)
-
-    def chunk_body(carry, inp):
-        Hcc, Hpp, gc, gp = carry
-        ocam, opt, ouv, ow = inp
-        cp_o = cam_params[ocam]
-        X_o = points[opt]
-        intr_o = intr_static[ocam]
-        r, Jc, Jp = _obs_jacobians(cp_o, X_o, intr_o, ouv, cfg.refine_intrinsics)
-        w = (_huber_weight(r, cfg.huber_delta) * ow)[:, None]
-        r = r * w
-        Jc = Jc * w[..., None]
-        Jp = Jp * w[..., None]
-        Hcc += jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jc, Jc), ocam, C)
-        Hpp += jax.ops.segment_sum(jnp.einsum("oki,okj->oij", Jp, Jp), opt, P)
-        gc += jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jc, r), ocam, C)
-        gp += jax.ops.segment_sum(jnp.einsum("oki,ok->oi", Jp, r), opt, P)
-        Wo_flat = jnp.einsum("oki,okj->oij", Jc, Jp).reshape(-1, D * 3)
-        return (Hcc, Hpp, gc, gp), Wo_flat
-
-    init = (
-        jnp.zeros((C, D, D)), jnp.zeros((P, 3, 3)),
-        jnp.zeros((C, D)), jnp.zeros((P, 3)),
-    )
-    if ax:
-        # Under shard_map the accumulators are device-varying; mark the
-        # zero init accordingly or the scan carry types disagree.
-        init = jax.tree_util.tree_map(lambda z: jax.lax.pcast(z, ax, to='varying'), init)
-    (Hcc, Hpp, gc, gp), Wo_chunks = jax.lax.scan(
-        chunk_body, init, (ocam_c, opt_c, ouv_c, ow_c)
-    )
-    Wo = Wo_chunks.reshape(O, D * 3)  # flattened (O, D*3) coupling blocks
-    Hcc = _maybe_psum(Hcc, ax)
-    Hpp = _maybe_psum(Hpp, ax)
-    gc = _maybe_psum(gc, ax)
-    gp = _maybe_psum(gp, ax)
-    return Wo, Hcc, Hpp, gc, gp
-
-
-def _schur_matvec(v, Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, P, axis_name=None):
-    """Matrix-free S @ v for the reduced camera system
-    S = Hcc - W Hpp^{-1} W^T, with v (C, D).  Wo is the flattened (O, D*3)
-    coupling table.  With a sharded observation table, both segment-sums
-    reduce over the mesh axis."""
-    D = v.shape[-1]
-    Wo3 = Wo.reshape(-1, D, 3)
-    # y_p = sum_{o in p} W_o^T v_{cam(o)}
-    Wv = jnp.einsum("oij,oi->oj", Wo3, v[obs_cam])  # (O, 3)
-    y = _maybe_psum(jax.ops.segment_sum(Wv, obs_pt, P), axis_name)  # (P, 3)
-    z = jnp.einsum("pij,pj->pi", Hpp_inv, y)  # (P, 3)
-    back = jnp.einsum("oij,oj->oi", Wo3, z[obs_pt])  # (O, D)
-    WHWv = _maybe_psum(jax.ops.segment_sum(back, obs_cam, C), axis_name)  # (C, D)
-    Hv = jnp.einsum("cij,cj->ci", Hcc_d, v)
-    return Hv - WHWv
-
-
-def _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, cfg, axis_name=None):
-    """Exact diagonal blocks of S for the block-Jacobi preconditioner
-    (the TPU analog of Ceres' SCHUR_JACOBI).  Chunked like _build_system to
-    avoid a resident (O, D, D) tensor."""
-    D = Hcc_d.shape[-1]
-    O = obs_cam.shape[0]
-    n_chunks = max(1, O // max(cfg.obs_chunk, 1))
-    while O % n_chunks:
-        n_chunks -= 1
-    Wo_c, ocam_c, opt_c = _chunk_obs([Wo, obs_cam, obs_pt], n_chunks)
-
-    def body(acc, inp):
-        Wf, ocam, opt = inp
-        W3 = Wf.reshape(-1, D, 3)
-        contrib = jnp.einsum("oij,ojk,olk->oil", W3, Hpp_inv[opt], W3)
-        return acc + jax.ops.segment_sum(contrib, ocam, C), None
-
-    acc0 = jnp.zeros((C, D, D))
-    if axis_name:
-        acc0 = jax.lax.pcast(acc0, axis_name, to="varying")
-    acc, _ = jax.lax.scan(body, acc0, (Wo_c, ocam_c, opt_c))
-    return Hcc_d - _maybe_psum(acc, axis_name)
-
-
-def _pcg(matvec, b, M_inv_blocks, iters: int, tol: float):
-    """Block-Jacobi preconditioned conjugate gradients on (C, D) vectors."""
-    def apply_M(r):
-        return jnp.einsum("cij,cj->ci", M_inv_blocks, r)
-
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    z0 = apply_M(r0)
-    p0 = z0
-    rz0 = jnp.sum(r0 * z0)
-    b2 = jnp.sum(b * b)
-
-    def body(carry):
-        x, r, p, rz, it = carry
-        Ap = matvec(p)
-        pAp = jnp.sum(p * Ap)
-        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = apply_M(r)
-        rz_new = jnp.sum(r * z)
-        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
-        p = z + beta * p
-        return x, r, p, rz_new, it + 1
-
-    def cond(carry):
-        _, r, _, _, it = carry
-        return (it < iters) & (jnp.sum(r * r) > tol * tol * jnp.maximum(b2, 1e-30))
-
-    x, r, *_ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
-    return x
-
-
-def _dense_schur_solve(Hcc_d, Hpp_inv, Wo3, obs_cam, obs_pt, rhs, upd_mask,
-                       axis_name=None):
-    """Assemble the reduced camera system S = Hcc - W Hpp^-1 W^T densely and
-    solve S dc = rhs by Cholesky.  Exact (no CG truncation) and a single
-    small factorization — the fast path for step-BAs with few cameras.
-
-    Per-point camera coupling is gathered into a (P, C, D, 3) table with one
-    segment-sum over linearized (point, cam) ids; the off-diagonal Schur
-    blocks are then two batched einsum contractions on the MXU.
-
-    Sharded correctness: Wp must be psum-reduced BEFORE the quadratic
-    contraction — a per-shard Wp would drop every cross-shard coupling term
-    W_pc Hpp^-1 W_pe^T where the two observations of point p live on
-    different devices (S is quadratic in W, so psum-ing S2 after the einsum
-    is wrong)."""
-    C, D = Hcc_d.shape[0], Hcc_d.shape[-1]
-    P = Hpp_inv.shape[0]
-    lin = obs_pt * C + obs_cam
-    Wp = jax.ops.segment_sum(Wo3.reshape(-1, D * 3), lin, P * C).reshape(P, C, D, 3)
-    Wp = _maybe_psum(Wp, axis_name)
-    A = jnp.einsum("pcdk,pkl->pcdl", Wp, Hpp_inv)
-    S2 = jnp.einsum("pcdl,pejl->cdej", A, Wp)  # (C, D, C, D)
-    idx = jnp.arange(C)
-    S = (-S2).at[idx, :, idx, :].add(Hcc_d)
-    # Freeze fixed cameras: zero their rows/cols, identity diagonal (keeps
-    # S symmetric positive definite; their rhs is already zero).
-    m = upd_mask[:, 0]
-    S = S * (m[:, None, None, None] * m[None, None, :, None])
-    eyeD = jnp.eye(D, dtype=S.dtype)
-    S = S.at[idx, :, idx, :].add((1.0 - m)[:, None, None] * eyeD)
-    Sm = S.reshape(C * D, C * D)
-    L = jnp.linalg.cholesky(Sm)
-    from jax.scipy.linalg import solve_triangular
-
-    y = solve_triangular(L, rhs.reshape(C * D), lower=True)
-    dc = solve_triangular(L.T, y, lower=False).reshape(C, D)
-    # A failed factorization (non-PD from extreme conditioning) falls back
-    # to the zero step — LM rejects it and raises lambda.
-    dc = jnp.where(jnp.all(jnp.isfinite(dc)), dc, 0.0)
-    return dc * upd_mask
-
-
-def _dense_eligible(C, P, D, cfg: BAConfig) -> bool:
-    # Peak residency is ~2x the (P, C, D, 3) table: the intermediate
-    # A = einsum(Wp, Hpp_inv) materializes a second table of identical
-    # size, so the byte cap is applied to 2x the table.
-    return (
-        C * D <= cfg.dense_schur_max_dim
-        and 2 * P * C * D * 3 * 4 <= cfg.dense_schur_max_bytes
-    )
 
 
 def _damp_blocks(H, lam):
@@ -380,12 +220,235 @@ def _invD(M):
     return jnp.linalg.inv(M)
 
 
+def _tree_vdot(a, b):
+    return sum(jnp.vdot(x, y) for x, y in zip(jax.tree_util.tree_leaves(a),
+                                              jax.tree_util.tree_leaves(b)))
+
+
+def _pcg(matvec, b, apply_M, iters: int, tol: float):
+    """Block-Jacobi preconditioned conjugate gradients over a pytree of
+    per-block unknowns (pose blocks, and intrinsic-group blocks when
+    refining)."""
+    x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+    r0 = b
+    z0 = apply_M(r0)
+    p0 = z0
+    rz0 = _tree_vdot(r0, z0)
+    b2 = _tree_vdot(b, b)
+
+    def body(carry):
+        x, r, p, rz, it = carry
+        Ap = matvec(p)
+        pAp = _tree_vdot(p, Ap)
+        alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
+        x = jax.tree_util.tree_map(lambda x_, p_: x_ + alpha * p_, x, p)
+        r = jax.tree_util.tree_map(lambda r_, a_: r_ - alpha * a_, r, Ap)
+        z = apply_M(r)
+        rz_new = _tree_vdot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
+        p = jax.tree_util.tree_map(lambda z_, p_: z_ + beta * p_, z, p)
+        return x, r, p, rz_new, it + 1
+
+    def cond(carry):
+        _, r, _, _, it = carry
+        return (it < iters) & (_tree_vdot(r, r) > tol * tol * jnp.maximum(b2, 1e-30))
+
+    x, r, *_ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Normal-equation assembly (XLA path: chunked scan over the obs table)
+# ---------------------------------------------------------------------------
+
+def _build_system(pose, gintr, points, refine_m, obs_cam, obs_grp, obs_pt,
+                  obs_uv, obs_w, C, G, cfg: BAConfig):
+    """Assemble the segment-summed normal-equation pieces.
+
+    TPU layout note: per-observation block tensors like (O, 6, 6) tile to
+    (8, 128) on their trailing dims — a 20-40x padding blow-up that OOMs at
+    millions of observations.  So (a) assembly runs as a lax.scan over
+    observation chunks, materializing only (chunk, D, D) at a time, and
+    (b) the coupling blocks persist flattened as (O, D*3) (lane dim D*3
+    instead of 3), cutting the resident footprint ~8x."""
+    P = points.shape[0]
+    D, E = POSE_DIM, INTR_DIM
+    O = obs_cam.shape[0]
+    refine = cfg.refine_intrinsics
+    ax = cfg.axis_name
+    n_chunks = max(1, O // max(cfg.obs_chunk, 1))
+    while O % n_chunks:
+        n_chunks -= 1
+    ocam_c, ogrp_c, opt_c, ouv_c, ow_c = _chunk_obs(
+        [obs_cam, obs_grp, obs_pt, obs_uv, obs_w], n_chunks)
+
+    def chunk_body(carry, inp):
+        ocam, ogrp, opt, ouv, ow = inp
+        pose_o = pose[ocam]
+        intr_o = gintr[ogrp]
+        X_o = points[opt]
+        r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, ouv, refine)
+        w = (_huber_weight(r, cfg.huber_delta) * ow)[:, None]
+        r = r * w
+        Jc = Jc * w[..., None]
+        Jp = Jp * w[..., None]
+        out = {}
+        acc = dict(carry)
+        acc["Hcc"] = acc["Hcc"] + jax.ops.segment_sum(
+            jnp.einsum("oki,okj->oij", Jc, Jc), ocam, C)
+        acc["Hpp"] = acc["Hpp"] + jax.ops.segment_sum(
+            jnp.einsum("oki,okj->oij", Jp, Jp), opt, P)
+        acc["gc"] = acc["gc"] + jax.ops.segment_sum(
+            jnp.einsum("oki,ok->oi", Jc, r), ocam, C)
+        acc["gp"] = acc["gp"] + jax.ops.segment_sum(
+            jnp.einsum("oki,ok->oi", Jp, r), opt, P)
+        out["Wc"] = jnp.einsum("oki,okj->oij", Jc, Jp).reshape(-1, D * 3)
+        if refine:
+            Jg = Jg * (w[..., None] * refine_m[None, None, :])
+            acc["Hgg"] = acc["Hgg"] + jax.ops.segment_sum(
+                jnp.einsum("oki,okj->oij", Jg, Jg), ogrp, G)
+            acc["Hcg"] = acc["Hcg"] + jax.ops.segment_sum(
+                jnp.einsum("oki,okj->oij", Jc, Jg), ocam, C)
+            acc["gg"] = acc["gg"] + jax.ops.segment_sum(
+                jnp.einsum("oki,ok->oi", Jg, r), ogrp, G)
+            out["Wg"] = jnp.einsum("oki,okj->oij", Jg, Jp).reshape(-1, E * 3)
+        return acc, out
+
+    init = {
+        "Hcc": jnp.zeros((C, D, D)), "Hpp": jnp.zeros((P, 3, 3)),
+        "gc": jnp.zeros((C, D)), "gp": jnp.zeros((P, 3)),
+    }
+    if refine:
+        init.update({
+            "Hgg": jnp.zeros((G, E, E)), "Hcg": jnp.zeros((C, D, E)),
+            "gg": jnp.zeros((G, E)),
+        })
+    if ax:
+        # Under shard_map the accumulators are device-varying; mark the
+        # zero init accordingly or the scan carry types disagree.
+        init = jax.tree_util.tree_map(
+            lambda z: jax.lax.pcast(z, ax, to='varying'), init)
+    acc, outs = jax.lax.scan(
+        chunk_body, init, (ocam_c, ogrp_c, opt_c, ouv_c, ow_c))
+    acc = jax.tree_util.tree_map(lambda x: _maybe_psum(x, ax), acc)
+    Wc = outs["Wc"].reshape(O, D * 3)
+    Wg = outs["Wg"].reshape(O, E * 3) if refine else None
+    return acc, Wc, Wg
+
+
+# ---------------------------------------------------------------------------
+# Reduced-system solves
+# ---------------------------------------------------------------------------
+
+def _dense_schur_solve(Hcc_d, Hgg_d, Hcg, Hpp_inv, Wc3, Wg3,
+                       obs_cam, obs_grp, obs_pt, rhs, upd_c, upd_g,
+                       cam_group, C, G, refine: bool, axis_name=None):
+    """Assemble the reduced [pose | intrinsic-group] system densely and
+    solve by Cholesky.  Exact (no CG truncation) and a single small
+    factorization — the fast path for step-BAs with few cameras.
+
+    Per-point coupling is gathered into (P, C, 6, 3) / (P, G, 7, 3) tables
+    with one segment-sum over linearized (point, block) ids; the
+    off-diagonal Schur blocks are then batched einsum contractions on the
+    MXU.
+
+    Sharded correctness: the coupling tables must be psum-reduced BEFORE
+    the quadratic contraction — a per-shard table would drop every
+    cross-shard coupling term W_p* Hpp^-1 W_p*^T where two observations of
+    point p live on different devices (S is quadratic in W, so psum-ing
+    the contracted blocks after would be wrong)."""
+    D, E = POSE_DIM, INTR_DIM
+    P = Hpp_inv.shape[0]
+    lin_c = obs_pt * C + obs_cam
+    Wcp = jax.ops.segment_sum(Wc3.reshape(-1, D * 3), lin_c, P * C)
+    Wcp = _maybe_psum(Wcp, axis_name).reshape(P, C, D, 3)
+    Acp = jnp.einsum("pcdk,pkl->pcdl", Wcp, Hpp_inv)
+    idxC = jnp.arange(C)
+    Scc = -jnp.einsum("pcdl,pejl->cdej", Acp, Wcp)
+    Scc = Scc.at[idxC, :, idxC, :].add(Hcc_d)
+
+    if refine:
+        lin_g = obs_pt * G + obs_grp
+        Wgp = jax.ops.segment_sum(Wg3.reshape(-1, E * 3), lin_g, P * G)
+        Wgp = _maybe_psum(Wgp, axis_name).reshape(P, G, E, 3)
+        Scg = -jnp.einsum("pcdl,pgel->cdge", Acp, Wgp)
+        Scg = Scg.at[idxC, :, cam_group, :].add(Hcg)
+        Agp = jnp.einsum("pgek,pkl->pgel", Wgp, Hpp_inv)
+        idxG = jnp.arange(G)
+        Sgg = -jnp.einsum("pgel,phfl->gehf", Agp, Wgp)
+        Sgg = Sgg.at[idxG, :, idxG, :].add(Hgg_d)
+        N = C * D + G * E
+        S = jnp.zeros((N, N), Hcc_d.dtype)
+        S = S.at[: C * D, : C * D].set(Scc.reshape(C * D, C * D))
+        cg = Scg.reshape(C * D, G * E)
+        S = S.at[: C * D, C * D:].set(cg)
+        S = S.at[C * D:, : C * D].set(cg.T)
+        S = S.at[C * D:, C * D:].set(Sgg.reshape(G * E, G * E))
+        u = jnp.concatenate([jnp.broadcast_to(upd_c, (C, D)).reshape(-1),
+                             jnp.broadcast_to(upd_g, (G, E)).reshape(-1)])
+    else:
+        N = C * D
+        S = Scc.reshape(N, N)
+        u = jnp.broadcast_to(upd_c, (C, D)).reshape(-1)
+
+    # Freeze fixed rows: zero their rows/cols, identity diagonal (keeps
+    # S symmetric positive definite; their rhs is already zero).
+    S = S * (u[:, None] * u[None, :]) + jnp.diag(1.0 - u)
+    L = jnp.linalg.cholesky(S)
+    from jax.scipy.linalg import solve_triangular
+
+    y = solve_triangular(L, rhs * u, lower=True)
+    d = solve_triangular(L.T, y, lower=False)
+    # A failed factorization (non-PD from extreme conditioning) falls back
+    # to the zero step — LM rejects it and raises lambda.
+    d = jnp.where(jnp.all(jnp.isfinite(d)), d, 0.0) * u
+    dc = d[: C * D].reshape(C, D)
+    dg = d[C * D:].reshape(G, E) if refine else None
+    return dc, dg
+
+
+def _dense_eligible(C, G, P, cfg: BAConfig) -> bool:
+    # Peak residency is ~2x the coupling tables: the intermediate
+    # A = einsum(W, Hpp_inv) materializes a second table of identical size.
+    dim = C * POSE_DIM + (G * INTR_DIM if cfg.refine_intrinsics else 0)
+    tables = P * C * POSE_DIM * 3
+    if cfg.refine_intrinsics:
+        tables += P * G * INTR_DIM * 3
+    return dim <= cfg.dense_schur_max_dim and 2 * tables * 4 <= cfg.dense_schur_max_bytes
+
+
+def _schur_diag_pose(Hcc_d, Hpp_inv, Wc, obs_cam, obs_pt, C, cfg, axis_name=None):
+    """Exact pose-diagonal blocks of S for the block-Jacobi preconditioner
+    (the TPU analog of Ceres' SCHUR_JACOBI).  Exact because each (cam,
+    point) pair has at most one observation.  Chunked like _build_system to
+    avoid a resident (O, D, D) tensor."""
+    D = Hcc_d.shape[-1]
+    O = obs_cam.shape[0]
+    n_chunks = max(1, O // max(cfg.obs_chunk, 1))
+    while O % n_chunks:
+        n_chunks -= 1
+    Wc_c, ocam_c, opt_c = _chunk_obs([Wc, obs_cam, obs_pt], n_chunks)
+
+    def body(acc, inp):
+        Wf, ocam, opt = inp
+        W3 = Wf.reshape(-1, D, 3)
+        contrib = jnp.einsum("oij,ojk,olk->oil", W3, Hpp_inv[opt], W3)
+        return acc + jax.ops.segment_sum(contrib, ocam, C), None
+
+    acc0 = jnp.zeros((C, D, D))
+    if axis_name:
+        acc0 = jax.lax.pcast(acc0, axis_name, to="varying")
+    acc, _ = jax.lax.scan(body, acc0, (Wc_c, ocam_c, opt_c))
+    return Hcc_d - _maybe_psum(acc, axis_name)
+
+
 # ---------------------------------------------------------------------------
 # Pallas path: every obs-table reduction as an MXU one-hot matmul
 # ---------------------------------------------------------------------------
 
-def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
-               obs_cam, obs_pt, obs_uv, obs_w, cfg: BAConfig):
+def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
+               cam_group, obs_cam, obs_grp, obs_pt, obs_uv, obs_w,
+               C, G, cfg: BAConfig):
     """LM loop where every obs-table SCATTER (assembly, Schur matvec,
     preconditioner) runs on the MXU one-hot kernels (ops/obs_table.py).
 
@@ -394,13 +457,13 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
     space and is scattered to point space immediately (a ~P-row scatter,
     negligible), so all state stays in point space.  That makes the path
     shard_map-compatible: with cfg.axis_name set, each device reduces its
-    observation shard locally and the point/camera systems are psum-reduced
-    exactly like the XLA path (dist_ba)."""
+    observation shard locally and the point/camera/group systems are
+    psum-reduced exactly like the XLA path (dist_ba)."""
     from ..ops import obs_table as ot
 
-    C = cp0.shape[0]
     P = points.shape[0]
-    D = cfg.cam_dim
+    D, E = POSE_DIM, INTR_DIM
+    refine = cfg.refine_intrinsics
     itp = cfg.pallas_interpret
     ax = cfg.axis_name
 
@@ -408,6 +471,7 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
         obs_pt, obs_w > 0, P
     )
     obs_cam = obs_cam[order]
+    obs_grp = obs_grp[order]
     obs_pt = obs_pt[order]
     obs_uv = obs_uv[order]
     obs_w = obs_w[order]
@@ -433,38 +497,48 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
     def cam_reduce(vals):
         return _maybe_psum(ot.segsum_table(vals, obs_cam, C, interpret=itp), ax)
 
-    cam_tab_width = D + 7
+    def grp_reduce(vals):
+        return _maybe_psum(ot.segsum_table(vals, obs_grp, G, interpret=itp), ax)
 
-    def per_obs_tables(cp, pts):
-        co = _gather(jnp.concatenate([cp, intr_static], axis=-1), obs_cam)
-        cp_o, intr_o = co[:, :D], co[:, D:cam_tab_width]
+    def cost_of(ps, gi, pts):
+        pose_o = _gather(ps, obs_cam)
+        intr_o = _gather(gi, obs_grp)
         X_o = _gather(pts, obs_pt)
-        return cp_o, intr_o, X_o
-
-    def cost_of(cp, pts):
-        cp_o, intr_o, X_o = per_obs_tables(cp, pts)
-        r = jax.vmap(
-            lambda c, x, i, u: _residual_one(c, x, i, u, cfg.refine_intrinsics)
-        )(cp_o, X_o, intr_o, obs_uv)
+        r = jax.vmap(_residual_one)(pose_o, intr_o, X_o, obs_uv)
         return _maybe_psum(robust_cost(r, obs_w, cfg.huber_delta), ax)
 
     def lm_step(carry):
-        cp, pts, lam, cost, done, it = carry
-        cp_o, intr_o, X_o = per_obs_tables(cp, pts)
-        r, Jc, Jp = _obs_jacobians(cp_o, X_o, intr_o, obs_uv,
-                                   cfg.refine_intrinsics)
+        ps, gi, pts, lam, cost, done, it = carry
+        pose_o = _gather(ps, obs_cam)
+        intr_o = _gather(gi, obs_grp)
+        X_o = _gather(pts, obs_pt)
+        r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, obs_uv, refine)
         w = (_huber_weight(r, cfg.huber_delta) * obs_w)[:, None]
         r = r * w
         Jc = Jc * w[..., None]
         Jp = Jp * w[..., None]
-        # Camera side: one fused (O, D*D + D) reduction.
-        camvals = jnp.concatenate([
+        if refine:
+            Jg = Jg * (w[..., None] * refine_m[None, None, :])
+        # Camera side: one fused (O, D*D + D [+ D*E]) reduction.
+        camvals = [
             jnp.einsum("oki,okj->oij", Jc, Jc).reshape(-1, D * D),
             jnp.einsum("oki,ok->oi", Jc, r),
-        ], axis=-1)
-        camred = cam_reduce(camvals)
+        ]
+        if refine:
+            camvals.append(jnp.einsum("oki,okj->oij", Jc, Jg).reshape(-1, D * E))
+        camred = cam_reduce(jnp.concatenate(camvals, axis=-1))
         Hcc = camred[:, : D * D].reshape(C, D, D)
-        gc = camred[:, D * D:]
+        gc = camred[:, D * D: D * D + D]
+        Hcg = (camred[:, D * D + D:].reshape(C, D, E) if refine else None)
+        # Group side: one fused (O, E*E + E) reduction.
+        if refine:
+            grpvals = jnp.concatenate([
+                jnp.einsum("oki,okj->oij", Jg, Jg).reshape(-1, E * E),
+                jnp.einsum("oki,ok->oi", Jg, r),
+            ], axis=-1)
+            grpred = grp_reduce(grpvals)
+            Hgg = grpred[:, : E * E].reshape(G, E, E)
+            gg = grpred[:, E * E:]
         # Point side: one fused (O, 12) reduction.
         ptvals = jnp.concatenate([
             jnp.einsum("oki,okj->oij", Jp, Jp).reshape(-1, 9),
@@ -473,43 +547,73 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
         ptred = pt_reduce(ptvals)
         Hpp = ptred[:, :9].reshape(P, 3, 3)
         gp = ptred[:, 9:]
-        Wo3 = jnp.einsum("oki,okj->oij", Jc, Jp)  # (O, D, 3), point-sorted
+        Wc3 = jnp.einsum("oki,okj->oij", Jc, Jp)  # (O, D, 3), point-sorted
+        Wg3 = jnp.einsum("oki,okj->oij", Jg, Jp) if refine else None
 
         Hcc_d = _damp_blocks(Hcc, lam)
         Hpp_inv = _inv3(_damp_blocks(Hpp, lam))
+        Hgg_d = _damp_blocks(Hgg, lam) if refine else None
 
-        # rhs = -gc + W Hpp^-1 gp
+        # rhs = -g + W Hpp^-1 gp  (per block type)
         z = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
-        back = jnp.einsum("oij,oj->oi", Wo3, _gather(z, obs_pt))
-        rhs = (-gc + cam_reduce(back)) * upd_mask
+        z_o = _gather(z, obs_pt)
+        rhs_c = (-gc + cam_reduce(jnp.einsum("oij,oj->oi", Wc3, z_o))) * upd_c
+        rhs = {"c": rhs_c}
+        if refine:
+            rhs["g"] = (-gg + grp_reduce(jnp.einsum("oij,oj->oi", Wg3, z_o))) * upd_g
 
-        # Block-Jacobi preconditioner on the exact S diagonal.
+        # Block-Jacobi preconditioner: exact S diagonal on pose blocks
+        # (one obs per (cam, point) pair), damped Hgg on group blocks
+        # (groups span many cameras; their diagonal is dominated by Hgg).
         Hinv_o = _gather(Hpp_inv.reshape(P, 9), obs_pt).reshape(-1, 3, 3)
-        contrib = jnp.einsum("oij,ojk,olk->oil", Wo3, Hinv_o, Wo3)
+        contrib = jnp.einsum("oij,ojk,olk->oil", Wc3, Hinv_o, Wc3)
         S_diag = Hcc_d - cam_reduce(contrib.reshape(-1, D * D)).reshape(C, D, D)
-        M_inv = _invD(S_diag)
+        M_inv_c = _invD(S_diag)
+        M_inv_g = _invD(Hgg_d) if refine else None
+
+        def apply_M(v):
+            out = {"c": jnp.einsum("cij,cj->ci", M_inv_c, v["c"])}
+            if refine:
+                out["g"] = jnp.einsum("gij,gj->gi", M_inv_g, v["g"])
+            return out
 
         def mv(v):
-            vm = v * upd_mask
-            vg = _gather(vm, obs_cam)
-            Wv = jnp.einsum("oij,oi->oj", Wo3, vg)
-            y = pt_reduce(Wv)
+            vc = v["c"] * upd_c
+            u = jnp.einsum("oij,oi->oj", Wc3, _gather(vc, obs_cam))
+            if refine:
+                vg = v["g"] * upd_g
+                u = u + jnp.einsum("oij,oi->oj", Wg3, _gather(vg, obs_grp))
+            y = pt_reduce(u)
             zz = jnp.einsum("pij,pj->pi", Hpp_inv, y)
-            bk = jnp.einsum("oij,oj->oi", Wo3, _gather(zz, obs_pt))
-            WHWv = cam_reduce(bk)
-            Hv = jnp.einsum("cij,cj->ci", Hcc_d, vm)
-            return (Hv - WHWv) * upd_mask
+            zz_o = _gather(zz, obs_pt)
+            bc = cam_reduce(jnp.einsum("oij,oj->oi", Wc3, zz_o))
+            Hvc = jnp.einsum("cij,cj->ci", Hcc_d, vc)
+            if refine:
+                Hvc = Hvc + jnp.einsum("cde,ce->cd", Hcg, vg[cam_group])
+                bg = grp_reduce(jnp.einsum("oij,oj->oi", Wg3, zz_o))
+                Hvg = jnp.einsum("gef,gf->ge", Hgg_d, vg) + jax.ops.segment_sum(
+                    jnp.einsum("cde,cd->ce", Hcg, vc), cam_group, G)
+                out = {"c": (Hvc - bc) * upd_c, "g": (Hvg - bg) * upd_g}
+            else:
+                out = {"c": (Hvc - bc) * upd_c}
+            return out
 
-        dc = _pcg(mv, rhs, M_inv, cfg.cg_iters, cfg.cg_tol) * upd_mask
-        dcg = _gather(dc, obs_cam)
-        Wtdc = pt_reduce(jnp.einsum("oij,oi->oj", Wo3, dcg))
-        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtdc) * pt_upd
+        d = _pcg(mv, rhs, apply_M, cfg.cg_iters, cfg.cg_tol)
+        dc = d["c"] * upd_c
+        dg = d["g"] * upd_g if refine else None
+        u = jnp.einsum("oij,oi->oj", Wc3, _gather(dc, obs_cam))
+        if refine:
+            u = u + jnp.einsum("oij,oi->oj", Wg3, _gather(dg, obs_grp))
+        Wtd = pt_reduce(u)
+        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtd) * pt_upd
 
-        cp_new = cp + dc
+        ps_new = ps + dc
+        gi_new = gi + dg if refine else gi
         pts_new = pts + dp
-        new_cost = cost_of(cp_new, pts_new)
+        new_cost = cost_of(ps_new, gi_new, pts_new)
         accept = (new_cost < cost) & ~done
-        cp = jnp.where(accept, cp_new, cp)
+        ps = jnp.where(accept, ps_new, ps)
+        gi = jnp.where(accept, gi_new, gi)
         pts = jnp.where(accept, pts_new, pts)
         cost_out = jnp.where(accept, new_cost, cost)
         lam = jnp.where(
@@ -519,41 +623,26 @@ def _lm_pallas(cp0, points, intr_static, point_mask, upd_mask, pt_upd,
         )
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
         done = done | (accept & (rel < cfg.converge_rtol))
-        return cp, pts, lam, cost_out, done, it + 1
+        return ps, gi, pts, lam, cost_out, done, it + 1
 
-    init_cost = cost_of(cp0, points)
-    (cp, pts, lam, final_cost, _, n_it) = jax.lax.while_loop(
-        lambda c: (c[5] < cfg.max_iters) & ~c[4],
+    init_cost = cost_of(pose0, gintr0, points)
+    (ps, gi, pts, lam, final_cost, _, n_it) = jax.lax.while_loop(
+        lambda c: (c[6] < cfg.max_iters) & ~c[5],
         lm_step,
-        (cp0, points, jnp.float32(cfg.lambda_init), init_cost,
+        (pose0, gintr0, points, jnp.float32(cfg.lambda_init), init_cost,
          jnp.bool_(False), jnp.int32(0)),
     )
-    return cp, pts, lam, init_cost, final_cost, n_it
+    return ps, gi, pts, lam, init_cost, final_cost, n_it
 
 
 # ---------------------------------------------------------------------------
 # LM driver
 # ---------------------------------------------------------------------------
 
-def _pack_cam_params(intr, cam_rot, cam_t, cfg: BAConfig):
-    if cfg.refine_intrinsics:
-        return jnp.concatenate([cam_rot, cam_t, intr[:, :4]], axis=-1)
-    return jnp.concatenate([cam_rot, cam_t], axis=-1)
-
-
-def _unpack_cam_params(cp, intr_static, cfg: BAConfig):
-    cam_rot = cp[:, :3]
-    cam_t = cp[:, 3:6]
-    if cfg.refine_intrinsics:
-        intr = jnp.concatenate([cp[:, 6:10], intr_static[:, 4:7]], axis=-1)
-    else:
-        intr = intr_static
-    return intr, cam_rot, cam_t
-
-
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "n_groups"))
 def bundle_adjust(
-    intr: jnp.ndarray,       # (C, 7)
+    intr: jnp.ndarray,       # (C, 7) per-camera intrinsics; must already be
+                             # consistent within each shared group
     cam_rot: jnp.ndarray,    # (C, 3) axis-angle
     cam_t: jnp.ndarray,      # (C, 3)
     cam_mask: jnp.ndarray,   # (C,)
@@ -565,15 +654,32 @@ def bundle_adjust(
     obs_mask: jnp.ndarray,   # (O,)
     cfg: BAConfig = BAConfig(),
     cam_free_mask: jnp.ndarray | None = None,  # (C,) — False freezes a camera
-                                               # (local-BA support)
+                                               # pose (local-BA support)
+    cam_group: jnp.ndarray | None = None,  # (C,) int32 intrinsic-group id per
+                                           # camera (GroupSharedIntrinsics,
+                                           # sparseBuilder.cpp:554-556);
+                                           # None = one group per camera
+    n_groups: int | None = None,           # static group count; None = C
 ):
     """Run LM bundle adjustment. Returns (intr, cam_rot, cam_t, points, info)
     where info = {'initial_cost', 'final_cost', 'iterations', 'lambda'}
     (the reference prints initial/final RMSE + time, BundleAdjuster.h:134-139).
+    The returned intr is per-camera, gathered from the refined group table.
     """
     C = intr.shape[0]
     P = points.shape[0]
-    D = cfg.cam_dim
+    refine = cfg.refine_intrinsics
+    if cam_group is None:
+        cam_group = jnp.arange(C, dtype=jnp.int32)
+        G = C
+    else:
+        cam_group = cam_group.astype(jnp.int32)
+        G = int(n_groups) if n_groups is not None else C
+    # Group intrinsic table: scatter per-camera rows (all rows of a group are
+    # required identical, so last-write-wins is exact).
+    gintr = jnp.zeros((G, INTR_DIM), intr.dtype).at[cam_group].set(intr)
+    refine_m = jnp.asarray(cfg.refine_mask(), intr.dtype)
+
     # Pad the obs table so the assembly chunk size divides it exactly
     # (padded rows have zero weight — harmless everywhere).
     O = obs_cam.shape[0]
@@ -584,27 +690,30 @@ def bundle_adjust(
         obs_uv = jnp.concatenate([obs_uv, jnp.zeros((pad, 2), obs_uv.dtype)])
         obs_mask = jnp.concatenate([obs_mask, jnp.zeros(pad, obs_mask.dtype)])
     obs_w = obs_mask.astype(jnp.float32)
-    # Gauge: freeze camera 0's block (first registered camera in slot 0).
+    obs_grp = cam_group[obs_cam]
+
+    # Gauge: freeze camera 0's pose block (first registered camera, pose
+    # only — its intrinsic group still refines).
     free = cam_mask if cam_free_mask is None else (cam_mask & cam_free_mask)
-    upd_mask = free.astype(jnp.float32)[:, None]
+    upd_c = free.astype(jnp.float32)[:, None]
     if cfg.fix_first_cam:
-        upd_mask = upd_mask.at[0].set(0.0)
+        upd_c = upd_c.at[0].set(0.0)
     pt_upd = point_mask.astype(jnp.float32)[:, None]
+    # Group update mask: refined parameter subset x groups that have any
+    # observation weight (empty groups stay frozen).
+    grp_w = _maybe_psum(jax.ops.segment_sum(obs_w, obs_grp, G), cfg.axis_name)
+    upd_g = (grp_w > 0).astype(jnp.float32)[:, None] * refine_m[None, :]
 
-    cp0 = _pack_cam_params(intr, cam_rot, cam_t, cfg)
-    intr_static = intr
+    pose0 = jnp.concatenate([cam_rot, cam_t], axis=-1)
+    D, E = POSE_DIM, INTR_DIM
 
-    # Small camera systems take the dense direct-Schur XLA path on TPU when
-    # impl is "auto": the pallas one-hot segment-sums pay off on million-row
-    # obs tables, not on the small step-BA problems the dense solve targets.
-    # An explicit impl="pallas" is always honored (tests rely on it to
-    # exercise the kernels on dense-eligible sizes).
-    if cfg.impl == "pallas" or (cfg.use_pallas() and not _dense_eligible(C, P, D, cfg)):
-        cp, pts, lam, init_cost, final_cost, n_it = _lm_pallas(
-            cp0, points, intr_static, point_mask, upd_mask, pt_upd,
-            obs_cam, obs_pt, obs_uv, obs_w, cfg,
+    dense_ok = _dense_eligible(C, G, P, cfg)
+    if cfg.impl == "pallas" or (cfg.use_pallas() and not dense_ok):
+        ps, gi, pts, lam, init_cost, final_cost, n_it = _lm_pallas(
+            pose0, gintr, points, refine_m, upd_c, upd_g, pt_upd, cam_group,
+            obs_cam, obs_grp, obs_pt, obs_uv, obs_w, C, G, cfg,
         )
-        intr_out, rot_out, t_out = _unpack_cam_params(cp, intr_static, cfg)
+        intr_out = gi[cam_group]
         info = {
             "initial_cost": init_cost,
             "final_cost": final_cost,
@@ -612,58 +721,99 @@ def bundle_adjust(
             "iterations": n_it,
             "n_obs": jnp.sum(obs_mask),
         }
-        return intr_out, rot_out, t_out, pts, info
+        return intr_out, ps[:, :3], ps[:, 3:6], pts, info
 
-    def cost_of(cp, pts):
-        cpo = cp[obs_cam]
-        Xo = pts[obs_pt]
-        io = intr_static[obs_cam]
-        r = jax.vmap(lambda c, x, i, u: _residual_one(c, x, i, u, cfg.refine_intrinsics))(
-            cpo, Xo, io, obs_uv
-        )
+    def cost_of(ps, gi, pts):
+        r = jax.vmap(_residual_one)(ps[obs_cam], gi[obs_grp], pts[obs_pt], obs_uv)
         return _maybe_psum(robust_cost(r, obs_w, cfg.huber_delta), cfg.axis_name)
 
     def lm_step(carry):
-        cp, pts, lam, cost, done, it = carry
+        ps, gi, pts, lam, cost, done, it = carry
 
-        Wo, Hcc, Hpp, gc, gp = _build_system(
-            cp, pts, intr_static, obs_cam, obs_pt, obs_uv, obs_w, cfg
+        acc, Wc, Wg = _build_system(
+            ps, gi, pts, refine_m, obs_cam, obs_grp, obs_pt, obs_uv, obs_w,
+            C, G, cfg
         )
-        Wo3 = Wo.reshape(-1, D, 3)
+        Wc3 = Wc.reshape(-1, D, 3)
+        Wg3 = Wg.reshape(-1, E, 3) if refine else None
         # Marquardt-scaled LM damping on the diagonal blocks.
-        Hcc_d = _damp_blocks(Hcc, lam)
-        Hpp_inv = _inv3(_damp_blocks(Hpp, lam))
+        Hcc_d = _damp_blocks(acc["Hcc"], lam)
+        Hpp_inv = _inv3(_damp_blocks(acc["Hpp"], lam))
+        Hgg_d = _damp_blocks(acc["Hgg"], lam) if refine else None
+        Hcg = acc["Hcg"] if refine else None
 
-        # Reduced system: S dc = -gc + W Hpp^-1 gp
-        z = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
-        back = jnp.einsum("oij,oj->oi", Wo3, z[obs_pt])
-        rhs = -gc + _maybe_psum(jax.ops.segment_sum(back, obs_cam, C), cfg.axis_name)
-        rhs = rhs * upd_mask
+        # Reduced system rhs: -g + W Hpp^-1 gp (per block type).
+        z = jnp.einsum("pij,pj->pi", Hpp_inv, acc["gp"])
+        z_o = z[obs_pt]
+        rhs_c = -acc["gc"] + _maybe_psum(jax.ops.segment_sum(
+            jnp.einsum("oij,oj->oi", Wc3, z_o), obs_cam, C), cfg.axis_name)
+        rhs_c = rhs_c * upd_c
+        if refine:
+            rhs_g = -acc["gg"] + _maybe_psum(jax.ops.segment_sum(
+                jnp.einsum("oij,oj->oi", Wg3, z_o), obs_grp, G), cfg.axis_name)
+            rhs_g = rhs_g * upd_g
 
-        if _dense_eligible(C, P, D, cfg):
-            dc = _dense_schur_solve(Hcc_d, Hpp_inv, Wo3, obs_cam, obs_pt,
-                                    rhs, upd_mask, cfg.axis_name)
+        if dense_ok:
+            rhs_flat = (jnp.concatenate([rhs_c.reshape(-1), rhs_g.reshape(-1)])
+                        if refine else rhs_c.reshape(-1))
+            dc, dg = _dense_schur_solve(
+                Hcc_d, Hgg_d, Hcg, Hpp_inv, Wc3, Wg3, obs_cam, obs_grp,
+                obs_pt, rhs_flat, upd_c, upd_g, cam_group, C, G, refine,
+                cfg.axis_name)
         else:
-            S_diag = _schur_diag_blocks(Hcc_d, Hpp_inv, Wo, obs_cam, obs_pt, C, cfg,
-                                        cfg.axis_name)
-            M_inv = _invD(S_diag)
+            S_diag = _schur_diag_pose(Hcc_d, Hpp_inv, Wc, obs_cam, obs_pt, C,
+                                      cfg, cfg.axis_name)
+            M_inv_c = _invD(S_diag)
+            M_inv_g = _invD(Hgg_d) if refine else None
+
+            def apply_M(v):
+                out = {"c": jnp.einsum("cij,cj->ci", M_inv_c, v["c"])}
+                if refine:
+                    out["g"] = jnp.einsum("gij,gj->gi", M_inv_g, v["g"])
+                return out
 
             def mv(v):
-                return _schur_matvec(v * upd_mask, Hcc_d, Hpp_inv, Wo, obs_cam,
-                                     obs_pt, C, P, cfg.axis_name) * upd_mask
+                vc = v["c"] * upd_c
+                u = jnp.einsum("oij,oi->oj", Wc3, vc[obs_cam])
+                if refine:
+                    vg = v["g"] * upd_g
+                    u = u + jnp.einsum("oij,oi->oj", Wg3, vg[obs_grp])
+                y = _maybe_psum(jax.ops.segment_sum(u, obs_pt, P), cfg.axis_name)
+                zz = jnp.einsum("pij,pj->pi", Hpp_inv, y)
+                zz_o = zz[obs_pt]
+                bc = _maybe_psum(jax.ops.segment_sum(
+                    jnp.einsum("oij,oj->oi", Wc3, zz_o), obs_cam, C),
+                    cfg.axis_name)
+                Hvc = jnp.einsum("cij,cj->ci", Hcc_d, vc)
+                if refine:
+                    Hvc = Hvc + jnp.einsum("cde,ce->cd", Hcg, vg[cam_group])
+                    bg = _maybe_psum(jax.ops.segment_sum(
+                        jnp.einsum("oij,oj->oi", Wg3, zz_o), obs_grp, G),
+                        cfg.axis_name)
+                    Hvg = jnp.einsum("gef,gf->ge", Hgg_d, vg) + jax.ops.segment_sum(
+                        jnp.einsum("cde,cd->ce", Hcg, vc), cam_group, G)
+                    return {"c": (Hvc - bc) * upd_c, "g": (Hvg - bg) * upd_g}
+                return {"c": (Hvc - bc) * upd_c}
 
-            dc = _pcg(mv, rhs, M_inv, cfg.cg_iters, cfg.cg_tol) * upd_mask
-        # Back-substitute points: dp = -Hpp^-1 (gp + W^T dc)
-        Wtdc = _maybe_psum(jax.ops.segment_sum(
-            jnp.einsum("oij,oi->oj", Wo3, dc[obs_cam]), obs_pt, P
-        ), cfg.axis_name)
-        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtdc) * pt_upd
+            rhs = {"c": rhs_c, "g": rhs_g} if refine else {"c": rhs_c}
+            d = _pcg(mv, rhs, apply_M, cfg.cg_iters, cfg.cg_tol)
+            dc = d["c"] * upd_c
+            dg = d["g"] * upd_g if refine else None
 
-        cp_new = cp + dc
+        # Back-substitute points: dp = -Hpp^-1 (gp + W^T d)
+        u = jnp.einsum("oij,oi->oj", Wc3, dc[obs_cam])
+        if refine:
+            u = u + jnp.einsum("oij,oi->oj", Wg3, dg[obs_grp])
+        Wtd = _maybe_psum(jax.ops.segment_sum(u, obs_pt, P), cfg.axis_name)
+        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, acc["gp"] + Wtd) * pt_upd
+
+        ps_new = ps + dc
+        gi_new = gi + dg if refine else gi
         pts_new = pts + dp
-        new_cost = cost_of(cp_new, pts_new)
+        new_cost = cost_of(ps_new, gi_new, pts_new)
         accept = (new_cost < cost) & ~done
-        cp = jnp.where(accept, cp_new, cp)
+        ps = jnp.where(accept, ps_new, ps)
+        gi = jnp.where(accept, gi_new, gi)
         pts = jnp.where(accept, pts_new, pts)
         cost_out = jnp.where(accept, new_cost, cost)
         lam = jnp.where(
@@ -674,19 +824,19 @@ def bundle_adjust(
         # Converged when an accepted step barely improves the cost.
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
         done = done | (accept & (rel < cfg.converge_rtol))
-        return cp, pts, lam, cost_out, done, it + 1
+        return ps, gi, pts, lam, cost_out, done, it + 1
 
-    init_cost = cost_of(cp0, points)
+    init_cost = cost_of(pose0, gintr, points)
     # A real while_loop (not scan): converged solves stop paying for the
     # remaining LM iterations on device — mid-reconstruction step-BAs
     # typically accept 2-4 steps and exit.
-    (cp, pts, lam, final_cost, _, n_it) = jax.lax.while_loop(
-        lambda c: (c[5] < cfg.max_iters) & ~c[4],
+    (ps, gi, pts, lam, final_cost, _, n_it) = jax.lax.while_loop(
+        lambda c: (c[6] < cfg.max_iters) & ~c[5],
         lm_step,
-        (cp0, points, jnp.float32(cfg.lambda_init), init_cost, jnp.bool_(False),
-         jnp.int32(0)),
+        (pose0, gintr, points, jnp.float32(cfg.lambda_init), init_cost,
+         jnp.bool_(False), jnp.int32(0)),
     )
-    intr_out, rot_out, t_out = _unpack_cam_params(cp, intr_static, cfg)
+    intr_out = gi[cam_group]
     info = {
         "initial_cost": init_cost,
         "final_cost": final_cost,
@@ -694,15 +844,16 @@ def bundle_adjust(
         "iterations": n_it,
         "n_obs": _maybe_psum(jnp.sum(obs_mask), cfg.axis_name),
     }
-    return intr_out, rot_out, t_out, pts, info
+    return intr_out, ps[:, :3], ps[:, 3:6], pts, info
 
 
-def bundle_adjust_scene(scene, cfg: BAConfig = BAConfig()):
+def bundle_adjust_scene(scene, cfg: BAConfig = BAConfig(), cam_group=None,
+                        n_groups=None):
     """Convenience wrapper over a tpusfm.sfm.scene.Scene."""
     intr, rot, t, pts, info = bundle_adjust(
         scene.intr, scene.cam_rot, scene.cam_t, scene.cam_mask,
         scene.points, scene.point_mask,
         scene.obs_cam, scene.obs_pt, scene.obs_uv, scene.obs_mask,
-        cfg,
+        cfg, cam_group=cam_group, n_groups=n_groups,
     )
     return scene.replace(intr=intr, cam_rot=rot, cam_t=t, points=pts), info

@@ -26,6 +26,10 @@ def _add_cfg_args(p: argparse.ArgumentParser):
     p.add_argument("--focal", type=float, default=None,
                    help="focal prior in pixels (overrides EXIF)")
     p.add_argument("--force", action="store_true", help="ignore stage artifacts")
+    p.add_argument("--devices", type=int, default=None,
+                   help="run the pipeline data-parallel over this many "
+                        "devices (matching over pairs, BA over observations, "
+                        "dense over view clusters); default single-device")
 
 
 def _make_cfg(args):
@@ -37,6 +41,7 @@ def _make_cfg(args):
                          max_per_octave=args.max_features),
         matching=MatchingConfig(pair_mode=args.pair_mode),
         focal_prior_px=args.focal,
+        devices=getattr(args, "devices", None),
     )
 
 

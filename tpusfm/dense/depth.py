@@ -47,10 +47,14 @@ class DenseConfig:
     subsample: int = 1          # pixel stride for fusion
     # Slanted-plane PatchMatch refinement of the plane-sweep init
     # (checkerboard propagation, tpusfm.dense.patchmatch) — removes the
-    # fronto-parallel bias on oblique surfaces.  The reference's dense stage
-    # (OpenMVS DensifyPointCloud, main.cpp:161) is PatchMatch MVS.
-    patchmatch: bool = False
+    # fronto-parallel bias on oblique surfaces.  ON by default: the
+    # reference's dense stage (OpenMVS DensifyPointCloud, main.cpp:161)
+    # IS PatchMatch MVS.
+    patchmatch: bool = True
     pm: PatchMatchConfig = dataclasses.field(default_factory=PatchMatchConfig)
+    # Reference views per device dispatch on the packed/vmapped sweep path
+    # (scaled by the mesh width when sharded).
+    view_batch: int = 4
 
 
 def _box_mean(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -73,7 +77,11 @@ def local_normalize(img: jnp.ndarray, w: int) -> jnp.ndarray:
 def plane_sweep_depth(
     ref_img: jnp.ndarray,      # (H, W) float32, locally pre-normalized
     src_imgs: jnp.ndarray,     # (S, H, W) float32, locally pre-normalized
-    K: jnp.ndarray,            # (3, 3) shared intrinsics (pinhole)
+    K_ref: jnp.ndarray,        # (3, 3) reference-view intrinsics (pinhole)
+    K_src: jnp.ndarray,        # (S, 3, 3) per-source intrinsics — mixed-
+                               # camera collections carry a different K per
+                               # view (the reference exports one platform/K
+                               # per camera, DenseBuilder.h:67-84)
     R_rel: jnp.ndarray,        # (S, 3, 3) ref-cam -> src-cam rotation
     t_rel: jnp.ndarray,        # (S, 3)
     inv_depths: jnp.ndarray,   # (D,) inverse depth planes (in ref frame)
@@ -82,7 +90,7 @@ def plane_sweep_depth(
     """Returns (depth (H, W), cost (H, W)): per-pixel depth of the best
     plane (parabolic sub-plane refined) and its aggregated matching cost."""
     H, W = ref_img.shape
-    Kinv = jnp.linalg.inv(K)
+    Kinv = jnp.linalg.inv(K_ref)
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
     )
@@ -91,10 +99,10 @@ def plane_sweep_depth(
     w = cfg.window
 
     def cost_at_plane(inv_d):
-        # Homography transfer: x_src ~ K (R_rel + t_rel * inv_d * n^T) Kinv x
-        # with n = [0,0,1] in the reference frame.
+        # Homography transfer: x_src ~ K_s (R_rel + t_rel * inv_d * n^T)
+        # Kref^-1 x with n = [0,0,1] in the reference frame.
         p = jnp.einsum("sij,jn->sin", R_rel, rays) + t_rel[..., None] * inv_d  # (S,3,HW)
-        uv = jnp.einsum("ij,sjn->sin", K, p)
+        uv = jnp.einsum("sij,sjn->sin", K_src, p)
         z = uv[:, 2]
         u = uv[:, 0] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
         v = uv[:, 1] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
@@ -169,7 +177,7 @@ def depth_range_from_sparse(scene, view: int, margin: float):
 def consistency_filter(
     depths: jnp.ndarray,   # (V, H, W) depth maps (0 where invalid)
     costs: jnp.ndarray,    # (V, H, W)
-    K: jnp.ndarray,
+    K: jnp.ndarray,        # (V, 3, 3) per-view intrinsics, or (3, 3) shared
     R: jnp.ndarray,        # (V, 3, 3) world->cam
     t: jnp.ndarray,        # (V, 3)
     neighbors: jnp.ndarray,  # (V, S) neighbor view indices
@@ -178,14 +186,16 @@ def consistency_filter(
     """Geometric cross-view consistency: a pixel survives if >=
     min_consistent neighbor maps agree on its 3D location."""
     V, H, W = depths.shape
+    if K.ndim == 2:
+        K = jnp.broadcast_to(K, (V, 3, 3))
     Kinv = jnp.linalg.inv(K)
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij"
     )
     pix = jnp.stack([xs, ys, jnp.ones_like(xs)], 0).reshape(3, -1)
-    rays = Kinv @ pix  # (3, HW)
 
     def per_view(v):
+        rays = Kinv[v] @ pix  # (3, HW)
         d = depths[v].reshape(-1)
         Xc = rays * d[None]
         Xw = jnp.einsum("ji,jn->in", R[v], Xc - t[v][:, None])  # cam -> world
@@ -193,7 +203,7 @@ def consistency_filter(
         def check(nv):
             Xn = jnp.einsum("ij,jn->in", R[nv], Xw) + t[nv][:, None]
             zn = Xn[2]
-            uvn = K @ Xn
+            uvn = K[nv] @ Xn
             un = uvn[0] / jnp.where(jnp.abs(uvn[2]) < 1e-6, 1e-6, uvn[2])
             vn = uvn[1] / jnp.where(jnp.abs(uvn[2]) < 1e-6, 1e-6, uvn[2])
             inb = (un >= 0) & (un <= W - 1) & (vn >= 0) & (vn <= H - 1) & (zn > 0)
@@ -216,9 +226,18 @@ def consistency_filter(
 
 def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(),
                       progress=None, views: list[int] | None = None,
-                      return_maps: bool = False, key=None):
+                      return_maps: bool = False, key=None, mesh=None):
     """Full dense stage over all registered views -> (points (N, 3) float32,
-    colors (N, 3) uint8)[, maps dict when return_maps]."""
+    colors (N, 3) uint8)[, maps dict when return_maps].
+
+    The sweep (and PatchMatch refinement) runs through the PACKED per-view
+    path — a vmapped batch of `view_batch` reference views per device
+    dispatch — instead of one dispatch per view; with a mesh, each batch is
+    sharded across devices (view-cluster DP, SURVEY.md §2.3 item 5).
+    Intrinsics are per-view throughout (mixed-camera parity,
+    DenseBuilder.h:67-84)."""
+    from ..parallel import dist_dense
+
     progress = progress or (lambda *a, **k: None)
     key = jax.random.PRNGKey(0) if key is None else key
     images = np.asarray(images, np.float32)
@@ -226,11 +245,12 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
     reg = np.nonzero(np.asarray(scene.cam_mask))[0]
     views = [v for v in (views if views is not None else reg) if scene.cam_mask[v]]
     intr = np.asarray(scene.intr)
-    K = np.array(
-        [[intr[views[0], 0], 0, intr[views[0], 2]],
-         [0, intr[views[0], 1], intr[views[0], 3]],
-         [0, 0, 1]], np.float32,
-    )
+    Ks = np.zeros((V, 3, 3), np.float32)
+    Ks[:, 0, 0] = intr[:V, 0]
+    Ks[:, 1, 1] = intr[:V, 1]
+    Ks[:, 0, 2] = intr[:V, 2]
+    Ks[:, 1, 2] = intr[:V, 3]
+    Ks[:, 2, 2] = 1.0
     R_all = np.asarray(lie.so3_exp(scene.cam_rot))
     t_all = np.asarray(scene.cam_t)
 
@@ -238,45 +258,57 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
         jax.jit(jax.vmap(partial(local_normalize, w=cfg.window)))(jnp.asarray(images))
     )
 
+    # Eligibility: enough sources and a usable sparse depth range.
+    computed = [
+        v for v in views
+        if len(select_source_views(scene, v, cfg.n_sources)) >= 2
+        and depth_range_from_sparse(scene, v, cfg.depth_margin) is not None
+    ]
     depths = np.zeros((V, H, W), np.float32)
     costs = np.full((V, H, W), 2.0, np.float32)
-    computed = []
-    for i, v in enumerate(views):
-        srcs = select_source_views(scene, v, cfg.n_sources)
-        if len(srcs) < 2:
-            continue
-        while len(srcs) < cfg.n_sources:
-            srcs.append(srcs[-1])
-        rng = depth_range_from_sparse(scene, v, cfg.depth_margin)
-        if rng is None:
-            continue
-        lo, hi = rng
-        inv_depths = jnp.linspace(1.0 / hi, 1.0 / lo, cfg.n_planes, dtype=jnp.float32)
-        # Relative poses ref -> src: x_s = R_s x_w + t_s with
-        # x_w = R_v^T (x_v - t_v)  =>  R_rel = R_s R_v^T,
-        # t_rel = t_s - R_rel t_v.
-        R_rel = np.einsum("sij,kj->sik", R_all[srcs], R_all[v])
-        t_rel = t_all[srcs] - np.einsum("sij,j->si", R_rel, t_all[v])
-        d, c = plane_sweep_depth(
-            jnp.asarray(norm_images[v]), jnp.asarray(norm_images[srcs]),
-            jnp.asarray(K), jnp.asarray(R_rel.astype(np.float32)),
-            jnp.asarray(t_rel.astype(np.float32)), inv_depths, cfg,
-        )
-        if cfg.patchmatch:
-            from . import patchmatch as pm_mod
+    if computed:
+        src_idx, R_rel, t_rel, inv_d, inv_lo, inv_hi = \
+            dist_dense.pack_sweep_inputs(scene, computed, cfg, cfg.n_planes)
+        n_dev = mesh.shape["shard"] if mesh is not None else 1
+        B = max(cfg.view_batch, 1) * n_dev
+        norm_j = jnp.asarray(norm_images)
+        imgs_j = jnp.asarray(images) if cfg.patchmatch else None
+        Ks_j = jnp.asarray(Ks)
+        for s in range(0, len(computed), B):
+            sl = slice(s, s + B)
+            n_sl = len(computed[sl])
+            # Pad the batch to full size so one compiled shape serves all.
+            def pad(a):
+                out = a[sl]
+                if len(out) < B:
+                    out = np.concatenate(
+                        [out, np.repeat(out[:1], B - len(out), axis=0)])
+                return jnp.asarray(out)
 
-            d, c, _n = pm_mod.patchmatch_refine(
-                jnp.asarray(images[v]), jnp.asarray(images[srcs]),
-                jnp.asarray(K), jnp.asarray(R_rel.astype(np.float32)),
-                jnp.asarray(t_rel.astype(np.float32)),
-                1.0 / jnp.maximum(d, 1e-9),
-                jnp.float32(1.0 / hi), jnp.float32(1.0 / lo),
-                jax.random.fold_in(key, v), cfg.pm,
-            )
-        depths[v] = np.asarray(d)
-        costs[v] = np.asarray(c)
-        computed.append(v)
-        progress("dense", (i + 1) / max(len(views), 1) * 0.8)
+            args = (pad(src_idx), pad(R_rel), pad(t_rel), pad(inv_d))
+            if mesh is not None:
+                d, c = dist_dense.plane_sweep_sharded(
+                    mesh, norm_j, Ks_j, *args, cfg=cfg)
+            else:
+                d, c = dist_dense.plane_sweep_all_views(
+                    norm_j, Ks_j, *args, cfg=cfg)
+            if cfg.patchmatch:
+                keys = jax.random.split(jax.random.fold_in(key, s), B)
+                pm_args = (args[0], args[1], args[2],
+                           1.0 / jnp.maximum(d, 1e-9),
+                           pad(inv_lo), pad(inv_hi), keys)
+                if mesh is not None:
+                    d, c = dist_dense.patchmatch_sharded(
+                        mesh, imgs_j, Ks_j, *pm_args, pm_cfg=cfg.pm)
+                else:
+                    d, c = dist_dense.patchmatch_all_views(
+                        imgs_j, Ks_j, *pm_args, pm_cfg=cfg.pm)
+            d_np, c_np = np.asarray(d), np.asarray(c)
+            for bi in range(n_sl):
+                v = computed[s + bi]
+                depths[v] = d_np[bi]
+                costs[v] = c_np[bi]
+            progress("dense", min(1.0, (s + B) / len(computed)) * 0.8)
 
     # Consistency neighbors must themselves have computed depth maps.
     centers = np.asarray(scene.camera_centers())
@@ -291,15 +323,15 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
         neighbors[v] = nb
 
     valid = np.asarray(consistency_filter(
-        jnp.asarray(depths), jnp.asarray(costs), jnp.asarray(K),
+        jnp.asarray(depths), jnp.asarray(costs), jnp.asarray(Ks),
         jnp.asarray(R_all.astype(np.float32)), jnp.asarray(t_all.astype(np.float32)),
         jnp.asarray(neighbors), cfg,
     ))
     progress("dense", 0.9)
 
-    # Fusion: backproject surviving pixels.
+    # Fusion: backproject surviving pixels (per-view K).
     pts_out, col_out = [], []
-    Kinv = np.linalg.inv(K)
+    Kinv_all = np.linalg.inv(Ks)
     ss = cfg.subsample
     for v in computed:
         m = valid[v][::ss, ::ss]
@@ -310,7 +342,7 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
         xs = xs * ss
         d = depths[v][ys, xs]
         pix = np.stack([xs, ys, np.ones_like(xs)], 0).astype(np.float64)
-        Xc = Kinv @ pix * d[None]
+        Xc = Kinv_all[v] @ pix * d[None]
         Xw = R_all[v].T @ (Xc - t_all[v][:, None])
         pts_out.append(Xw.T.astype(np.float32))
         if rgb_images is not None:
@@ -322,7 +354,7 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
         pts = np.concatenate(pts_out)
         cols = np.concatenate(col_out) if col_out else np.full((len(pts), 3), 200, np.uint8)
     if return_maps:
-        maps = dict(depths=depths, valid=valid, K=K, R=R_all, t=t_all,
+        maps = dict(depths=depths, valid=valid, K=Ks, R=R_all, t=t_all,
                     computed=np.asarray(computed, np.int32))
         return pts, cols, maps
     return pts, cols

@@ -38,7 +38,7 @@ class MeshConfig:
 @partial(jax.jit, static_argnames=("grid",))
 def tsdf_fuse(
     depths: jnp.ndarray,   # (V, H, W), 0 = invalid
-    K: jnp.ndarray,        # (3, 3)
+    K: jnp.ndarray,        # (V, 3, 3) per-view intrinsics, or (3, 3) shared
     R: jnp.ndarray,        # (V, 3, 3) world->cam
     t: jnp.ndarray,        # (V, 3)
     origin: jnp.ndarray,   # (3,) grid origin (world)
@@ -48,6 +48,8 @@ def tsdf_fuse(
 ):
     """Returns (tsdf (G,G,G), weight (G,G,G))."""
     V, H, W = depths.shape
+    if K.ndim == 2:
+        K = jnp.broadcast_to(K, (V, 3, 3))
     g = jnp.arange(grid, dtype=jnp.float32)
     gx, gy, gz = jnp.meshgrid(g, g, g, indexing="ij")
     pts = origin[None, :] + voxel * jnp.stack([gx, gy, gz], -1).reshape(-1, 3)  # (N,3)
@@ -56,7 +58,7 @@ def tsdf_fuse(
         tsdf, wsum = carry
         Xc = pts @ R[vi].T + t[vi]
         z = Xc[:, 2]
-        uv = Xc @ K.T
+        uv = Xc @ K[vi].T
         u = uv[:, 0] / jnp.where(jnp.abs(uv[:, 2]) < 1e-6, 1e-6, uv[:, 2])
         v = uv[:, 1] / jnp.where(jnp.abs(uv[:, 2]) < 1e-6, 1e-6, uv[:, 2])
         inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 1e-3)
@@ -181,13 +183,14 @@ def marching_tetrahedra(values: np.ndarray, mask: np.ndarray, origin, voxel, lev
 def color_vertices(verts, rgb_images, depths, K, R, t, tol=0.05):
     """Vertex colors from the nearest depth-consistent view."""
     V, H, W = depths.shape
+    K = np.broadcast_to(np.asarray(K), (V, 3, 3))
     colors = np.full((len(verts), 3), 180, np.uint8)
     found = np.zeros(len(verts), bool)
     for v in range(V):
         Xc = verts @ R[v].T + t[v]
         z = Xc[:, 2]
-        u = Xc[:, 0] / np.maximum(z, 1e-6) * K[0, 0] + K[0, 2]
-        w_ = Xc[:, 1] / np.maximum(z, 1e-6) * K[1, 1] + K[1, 2]
+        u = Xc[:, 0] / np.maximum(z, 1e-6) * K[v, 0, 0] + K[v, 0, 2]
+        w_ = Xc[:, 1] / np.maximum(z, 1e-6) * K[v, 1, 1] + K[v, 1, 2]
         ui = np.round(u).astype(int)
         vi = np.round(w_).astype(int)
         inb = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
@@ -210,6 +213,7 @@ def mesh_from_depths(depths, valid, K, R, t, rgb_images=None,
     depths = np.asarray(depths) * np.asarray(valid)
     # Bounds from backprojected valid depths (subsampled).
     V, H, W = depths.shape
+    K = np.broadcast_to(np.asarray(K), (V, 3, 3))
     pts = []
     Kinv = np.linalg.inv(K)
     for v in range(V):
@@ -218,7 +222,7 @@ def mesh_from_depths(depths, valid, K, R, t, rgb_images=None,
             continue
         d = depths[v][ys * 4, xs * 4]
         pix = np.stack([xs * 4, ys * 4, np.ones_like(xs)], 0).astype(np.float64)
-        Xc = Kinv @ pix * d[None]
+        Xc = Kinv[v] @ pix * d[None]
         pts.append((R[v].T @ (Xc - t[v][:, None])).T)
     if not pts:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32), None
@@ -233,7 +237,7 @@ def mesh_from_depths(depths, valid, K, R, t, rgb_images=None,
     progress("mesh", 0.2)
 
     tsdf, weight = tsdf_fuse(
-        jnp.asarray(depths), jnp.asarray(K.astype(np.float32)),
+        jnp.asarray(depths), jnp.asarray(np.asarray(K, np.float32)),
         jnp.asarray(np.asarray(R, np.float32)), jnp.asarray(np.asarray(t, np.float32)),
         jnp.asarray(origin.astype(np.float32)), jnp.float32(voxel), jnp.float32(trunc),
         cfg.grid,
@@ -262,6 +266,7 @@ def refine_mesh(verts, faces, depths, valid, K, R, t, iters: int = 10,
     faces = np.asarray(faces)
     depths = np.asarray(depths) * np.asarray(valid)
     Vn, Hh, Ww = depths.shape
+    K = np.broadcast_to(np.asarray(K), (Vn, 3, 3))
 
     # Vertex adjacency (umbrella operator) from face edges.
     nbr_sum_idx = np.concatenate([
@@ -276,8 +281,8 @@ def refine_mesh(verts, faces, depths, valid, K, R, t, iters: int = 10,
             C = -R[v].T @ t[v]
             Xc = verts @ R[v].T + t[v]
             z = Xc[:, 2]
-            u = Xc[:, 0] / np.maximum(z, 1e-9) * K[0, 0] + K[0, 2]
-            w_ = Xc[:, 1] / np.maximum(z, 1e-9) * K[1, 1] + K[1, 2]
+            u = Xc[:, 0] / np.maximum(z, 1e-9) * K[v, 0, 0] + K[v, 0, 2]
+            w_ = Xc[:, 1] / np.maximum(z, 1e-9) * K[v, 1, 1] + K[v, 1, 2]
             ui = np.round(u).astype(int)
             vi = np.round(w_).astype(int)
             inb = (z > 0) & (ui >= 0) & (ui < Ww) & (vi >= 0) & (vi < Hh)

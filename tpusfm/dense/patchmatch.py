@@ -82,8 +82,8 @@ def _shift2d(img, dy: int, dx: int, fill=0.0):
     return out.at[ys, xs].set(img[ysrc, xsrc])
 
 
-def _plane_cost(n, c, ref_img, src_imgs, fx, fy, cx, cy, R_rel, t_rel,
-                offsets, cfg: PatchMatchConfig):
+def _plane_cost(n, c, ref_img, src_imgs, fx, fy, cx, cy, fxs, fys, cxs, cys,
+                R_rel, t_rel, offsets, cfg: PatchMatchConfig):
     """NCC cost of the per-pixel plane field (n (H,W,3), c (H,W)) where the
     plane at pixel p is {X : n_p . X = c_p} in the reference camera frame.
     Returns cost (H, W) in [0, 2] (2 = invalid)."""
@@ -113,8 +113,8 @@ def _plane_cost(n, c, ref_img, src_imgs, fx, fy, cx, cy, R_rel, t_rel,
         )  # (S, H, W, 3)
         z = Xs[..., 2]
         zsafe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-        us = Xs[..., 0] / zsafe * fx + cx
-        vs = Xs[..., 1] / zsafe * fy + cy
+        us = Xs[..., 0] / zsafe * fxs[:, None, None] + cxs[:, None, None]
+        vs = Xs[..., 1] / zsafe * fys[:, None, None] + cys[:, None, None]
         inb = (us >= 0) & (us <= W - 1) & (vs >= 0) & (vs <= H - 1) & (z > 0) & safe
         sv = jax.vmap(_bilinear)(src_imgs, vs, us)  # (S, H, W)
         sv = jnp.where(inb, sv, 0.0)
@@ -182,7 +182,8 @@ def _perturb_normal(key, n, max_deg):
 def patchmatch_refine(
     ref_img: jnp.ndarray,     # (H, W) float32 raw intensities
     src_imgs: jnp.ndarray,    # (S, H, W)
-    K: jnp.ndarray,           # (3, 3)
+    K: jnp.ndarray,           # (3, 3) reference-view intrinsics
+    K_src: jnp.ndarray,       # (S, 3, 3) per-source intrinsics
     R_rel: jnp.ndarray,       # (S, 3, 3) ref-cam -> src-cam
     t_rel: jnp.ndarray,       # (S, 3)
     inv_d_init: jnp.ndarray,  # (H, W) plane-sweep inverse depth init
@@ -196,6 +197,8 @@ def patchmatch_refine(
     Returns (depth (H, W), cost (H, W), normal (H, W, 3))."""
     H, W = ref_img.shape
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    fxs, fys = K_src[:, 0, 0], K_src[:, 1, 1]
+    cxs, cys = K_src[:, 0, 2], K_src[:, 1, 2]
     ys = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
     xs = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
     rpx = (xs - cx) / fx
@@ -205,6 +208,7 @@ def patchmatch_refine(
 
     cost_fn = partial(
         _plane_cost, ref_img=ref_img, src_imgs=src_imgs,
+        fxs=fxs, fys=fys, cxs=cxs, cys=cys,
         fx=fx, fy=fy, cx=cx, cy=cy, R_rel=R_rel, t_rel=t_rel,
         offsets=offsets, cfg=cfg,
     )

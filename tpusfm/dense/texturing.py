@@ -24,6 +24,8 @@ import numpy as np
 def face_view_assignment(verts, faces, depths, valid, K, R, t, tol=0.05):
     """Best view per face: visible + most aligned. Returns (V_of_face (F,)
     int32, -1 when no view sees the face)."""
+    V = depths.shape[0]
+    K = np.broadcast_to(np.asarray(K), (V, 3, 3))
     V, H, W = depths.shape
     centroids = verts[faces].mean(axis=1)  # (F, 3)
     e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
@@ -37,8 +39,8 @@ def face_view_assignment(verts, faces, depths, valid, K, R, t, tol=0.05):
     for v in range(V):
         Xc = centroids @ R[v].T + t[v]
         z = Xc[:, 2]
-        u = Xc[:, 0] / np.maximum(z, 1e-9) * K[0, 0] + K[0, 2]
-        w_ = Xc[:, 1] / np.maximum(z, 1e-9) * K[1, 1] + K[1, 2]
+        u = Xc[:, 0] / np.maximum(z, 1e-9) * K[v, 0, 0] + K[v, 0, 2]
+        w_ = Xc[:, 1] / np.maximum(z, 1e-9) * K[v, 1, 1] + K[v, 1, 2]
         ui = np.round(u).astype(int)
         vi = np.round(w_).astype(int)
         inb = (z > 0) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
@@ -73,6 +75,7 @@ def build_atlas(verts, faces, face_view, images, K, R, t,
     When atlas_size is None it is auto-sized from the measured patch areas."""
     images = np.asarray(images)
     Hh, Ww = images.shape[1:3]
+    K_v = np.broadcast_to(np.asarray(K), (len(R), 3, 3))
 
     # Pass 1: per-face patch rectangles in the chosen view.
     F = len(faces)
@@ -84,7 +87,7 @@ def build_atlas(verts, faces, face_view, images, K, R, t,
         v = face_view[f]
         if v < 0:
             continue
-        uv_img = _project(verts[faces[f]], K, R[v], t[v])
+        uv_img = _project(verts[faces[f]], K_v[v], R[v], t[v])
         lo = np.maximum(np.floor(uv_img.min(axis=0)).astype(int) - 1, 0)
         hi = np.minimum(np.ceil(uv_img.max(axis=0)).astype(int) + 1, [Ww - 1, Hh - 1])
         w = int(hi[0] - lo[0] + 1)

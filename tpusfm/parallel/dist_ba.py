@@ -32,11 +32,14 @@ def bundle_adjust_sharded(
     obs_cam, obs_pt, obs_uv, obs_mask,
     cfg: ba.BAConfig = ba.BAConfig(),
     cam_free_mask=None,
+    cam_group=None,
+    n_groups: int | None = None,
     axis: str = "shard",
 ):
     """Same contract as ba.bundle_adjust; the observation arrays are sharded
     over `axis` (their length must divide the mesh axis size — pad with
-    parallel.mesh.pad_to_multiple, padded rows masked out)."""
+    parallel.mesh.pad_to_multiple, padded rows masked out).  cam_group /
+    n_groups pass through to the shared-intrinsics machinery (replicated)."""
     cfg = dataclasses.replace(cfg, axis_name=axis)
     n_dev = mesh.shape[axis]
     assert obs_cam.shape[0] % n_dev == 0, (
@@ -44,6 +47,9 @@ def bundle_adjust_sharded(
     )
 
     free = cam_mask if cam_free_mask is None else cam_free_mask
+    if cam_group is None:
+        cam_group = jnp.arange(intr.shape[0], dtype=jnp.int32)
+        n_groups = intr.shape[0]
 
     @partial(
         shard_map,
@@ -52,7 +58,7 @@ def bundle_adjust_sharded(
             P(), P(), P(), P(),       # cameras replicated
             P(), P(),                 # points replicated
             P(axis), P(axis), P(axis), P(axis),  # observations sharded
-            P(),
+            P(), P(),
         ),
         out_specs=(P(), P(), P(), P(), P()),
         # The pallas obs-table kernels can't annotate their out_shapes with
@@ -60,16 +66,17 @@ def bundle_adjust_sharded(
         # equivalence tests against the single-device path.
         check_vma=False,
     )
-    def _run(intr, rot, t, cmask, pts, pmask, ocam, opt, ouv, omask, freem):
+    def _run(intr, rot, t, cmask, pts, pmask, ocam, opt, ouv, omask, freem,
+             cgrp):
         intr2, rot2, t2, pts2, info = ba.bundle_adjust(
             intr, rot, t, cmask, pts, pmask, ocam, opt, ouv, omask,
-            cfg=cfg, cam_free_mask=freem,
+            cfg=cfg, cam_free_mask=freem, cam_group=cgrp, n_groups=n_groups,
         )
         return intr2, rot2, t2, pts2, info
 
     return jax.jit(_run)(
         intr, cam_rot, cam_t, cam_mask, points, point_mask,
-        obs_cam, obs_pt, obs_uv, obs_mask, free,
+        obs_cam, obs_pt, obs_uv, obs_mask, free, cam_group,
     )
 
 

@@ -1,14 +1,18 @@
 """View-cluster sharded dense depth estimation.
 
-SURVEY.md §2.3 item 5: each device computes plane-sweep depth maps for its
-cluster of reference views (DP over views); the consistency filter and
-fusion read all maps afterwards.  The per-view sweep inputs (source poses,
-depth ranges) are packed into per-view arrays so the whole stage is one
-shard_map over the ``views`` axis — images are replicated (each device
-needs arbitrary source views), depth-map outputs are sharded.
+SURVEY.md §2.3 item 5: each device computes plane-sweep (and PatchMatch-
+refined) depth maps for its cluster of reference views (DP over views); the
+consistency filter and fusion read all maps afterwards.  The per-view sweep
+inputs (source poses, depth ranges) are packed into per-view arrays so the
+whole stage is one shard_map over the ``views`` axis — images are
+replicated (each device needs arbitrary source views), depth-map outputs
+are sharded.
 
 Packed input format (pack_sweep_inputs): src_idx is (V, S+1) int32 with the
 S source view ids followed by the reference view id in the last slot.
+Intrinsics are per-view (V, 3, 3) — mixed-camera collections carry a
+different K per view (the reference exports one platform/K per camera,
+src/denseBuilder/DenseBuilder.h:67-84).
 """
 
 from __future__ import annotations
@@ -16,32 +20,34 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..dense import depth as depth_mod
 
 
-def _sweep_packed(imgs, K, sidx, R_rel, t_rel, inv_depths, cfg):
+def _sweep_packed(imgs, Ks, sidx, R_rel, t_rel, inv_depths, cfg):
     """vmapped sweep over a (local) batch of packed per-view inputs."""
 
     def sweep(s, Rr, tr, d):
         ref = imgs[s[-1]]
         srcs = imgs[s[:-1]]
-        return depth_mod.plane_sweep_depth(ref, srcs, K, Rr, tr, d, cfg)
+        return depth_mod.plane_sweep_depth(
+            ref, srcs, Ks[s[-1]], Ks[s[:-1]], Rr, tr, d, cfg)
 
     return jax.vmap(sweep)(sidx, R_rel, t_rel, inv_depths)
 
 
-def plane_sweep_all_views(norm_images, K, src_idx, R_rel, t_rel, inv_depths,
+def plane_sweep_all_views(norm_images, Ks, src_idx, R_rel, t_rel, inv_depths,
                           cfg: depth_mod.DenseConfig = depth_mod.DenseConfig()):
-    """Single-device reference path: (depths (V, H, W), costs (V, H, W))."""
-    return _sweep_packed(norm_images, K, src_idx, R_rel, t_rel, inv_depths, cfg)
+    """Single-device packed path: (depths (V, H, W), costs (V, H, W))."""
+    return _sweep_packed(norm_images, Ks, src_idx, R_rel, t_rel, inv_depths, cfg)
 
 
 def plane_sweep_sharded(
     mesh: Mesh,
-    norm_images, K, src_idx, R_rel, t_rel, inv_depths,
+    norm_images, Ks, src_idx, R_rel, t_rel, inv_depths,
     cfg: depth_mod.DenseConfig = depth_mod.DenseConfig(),
     axis: str = "shard",
 ):
@@ -62,13 +68,58 @@ def plane_sweep_sharded(
     def _run(imgs, K_, sidx, Rr, tr, invd):
         return _sweep_packed(imgs, K_, sidx, Rr, tr, invd, cfg)
 
-    return jax.jit(_run)(norm_images, K, src_idx, R_rel, t_rel, inv_depths)
+    return jax.jit(_run)(norm_images, Ks, src_idx, R_rel, t_rel, inv_depths)
+
+
+def _pm_packed(imgs_raw, Ks, sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi,
+               keys, pm_cfg):
+    from ..dense import patchmatch as pm_mod
+
+    def one(s, Rr, tr, d0, lo, hi, k):
+        ref = imgs_raw[s[-1]]
+        srcs = imgs_raw[s[:-1]]
+        return pm_mod.patchmatch_refine(
+            ref, srcs, Ks[s[-1]], Ks[s[:-1]], Rr, tr, d0, lo, hi, k, pm_cfg)
+
+    d, c, _n = jax.vmap(one)(sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi, keys)
+    return d, c
+
+
+def patchmatch_all_views(images_raw, Ks, src_idx, R_rel, t_rel, inv_init,
+                         inv_lo, inv_hi, keys, pm_cfg):
+    """Packed PatchMatch refinement over a batch of reference views.
+    inv_init (V, H, W) is the plane-sweep inverse-depth init; inv_lo/inv_hi
+    (V,) the per-view search range."""
+    return _pm_packed(images_raw, Ks, src_idx, R_rel, t_rel, inv_init,
+                      inv_lo, inv_hi, keys, pm_cfg)
+
+
+def patchmatch_sharded(mesh: Mesh, images_raw, Ks, src_idx, R_rel, t_rel,
+                       inv_init, inv_lo, inv_hi, keys, pm_cfg,
+                       axis: str = "shard"):
+    """Packed PatchMatch with the view axis sharded over the mesh."""
+    n_dev = mesh.shape[axis]
+    assert src_idx.shape[0] % n_dev == 0
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def _run(imgs, K_, sidx, Rr, tr, d0, lo, hi, ks):
+        return _pm_packed(imgs, K_, sidx, Rr, tr, d0, lo, hi, ks, pm_cfg)
+
+    return jax.jit(_run)(images_raw, Ks, src_idx, R_rel, t_rel, inv_init,
+                         inv_lo, inv_hi, keys)
 
 
 def pack_sweep_inputs(scene, views, cfg: depth_mod.DenseConfig, n_planes: int):
-    """Host-side packing of per-view sweep inputs for the sharded path.
-    Returns (src_idx (V, S+1) with the ref id in the last slot, R_rel,
-    t_rel, inv_depths) as numpy arrays over the given views."""
+    """Host-side packing of per-view sweep inputs for the packed/sharded
+    paths.  Returns (src_idx (V, S+1) with the ref id in the last slot,
+    R_rel, t_rel, inv_depths (V, D), inv_lo (V,), inv_hi (V,)) as numpy
+    arrays over the given views."""
     import numpy as np
 
     from ..core import lie
@@ -80,6 +131,8 @@ def pack_sweep_inputs(scene, views, cfg: depth_mod.DenseConfig, n_planes: int):
     out_R = np.zeros((len(views), S, 3, 3), np.float32)
     out_t = np.zeros((len(views), S, 3), np.float32)
     out_d = np.zeros((len(views), n_planes), np.float32)
+    out_lo = np.zeros(len(views), np.float32)
+    out_hi = np.zeros(len(views), np.float32)
     for k, v in enumerate(views):
         srcs = depth_mod.select_source_views(scene, v, S)
         while len(srcs) < S:
@@ -92,4 +145,6 @@ def pack_sweep_inputs(scene, views, cfg: depth_mod.DenseConfig, n_planes: int):
         out_R[k] = R_rel
         out_t[k] = t_all[srcs] - np.einsum("sij,j->si", R_rel, t_all[v])
         out_d[k] = np.linspace(1.0 / hi, 1.0 / lo, n_planes)
-    return out_idx, out_R, out_t, out_d
+        out_lo[k] = 1.0 / hi
+        out_hi[k] = 1.0 / lo
+    return out_idx, out_R, out_t, out_d, out_lo, out_hi

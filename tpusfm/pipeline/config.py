@@ -13,6 +13,7 @@ import json
 from typing import Literal
 
 from ..ba.bundle_adjust import BAConfig
+from ..dense.depth import DenseConfig
 from ..features.sift import SiftConfig
 from ..sfm.incremental import IncrementalConfig
 
@@ -60,12 +61,28 @@ class PipelineConfig:
     matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
     filter: GeometricFilterConfig = dataclasses.field(default_factory=GeometricFilterConfig)
     engine: IncrementalConfig = dataclasses.field(default_factory=IncrementalConfig)
+    # Dense stage (plane sweep + PatchMatch refinement, on by default —
+    # the reference's DensifyPointCloud IS PatchMatch MVS, main.cpp:161).
+    dense: DenseConfig = dataclasses.field(default_factory=DenseConfig)
     # Engine selection (parity: ESfMEngine INCREMENTAL/GLOBAL/STELLAR,
     # .cpp:195-200, 1476-1560; INCREMENTAL is the reference default,
     # .cpp:1289).
     engine_type: Literal["incremental", "global", "stellar"] = "incremental"
     focal_prior_px: float | None = None  # like the hard-coded 2905.88 (main.cpp:124)
     feature_batch: int = 8             # views per SIFT device dispatch
+    # RADIAL3 self-calibration (parity: PINHOLE_CAMERA_RADIAL3 default +
+    # GroupSharedIntrinsics + ADJUST_ALL BA refine, sparseBuilder.cpp:
+    # 480-502, 554-556, 1292-1293): BA refines one shared [f, pp, k1..k3]
+    # block per physical camera identity.  Applied when the caller provides
+    # camera-identity groups (the staged pipeline derives them from EXIF).
+    self_calibrate: bool = True
+    # Device-mesh mode (SURVEY.md §2.3; no reference counterpart — the
+    # reference is single-host): devices > 1 runs the WHOLE pipeline
+    # data-parallel over a jax mesh — matching sharded over view pairs
+    # (dist_matching), bundle adjustment sharded over observations
+    # (dist_ba), dense depth sweeps sharded over view clusters
+    # (dist_dense).  None/1 = single device.
+    devices: int | None = None
 
     def to_json(self) -> str:
         def enc(o):

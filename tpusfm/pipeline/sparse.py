@@ -35,6 +35,16 @@ def _noop_progress(type, progress, **kw):
     del type, progress, kw
 
 
+def get_mesh(cfg: PipelineConfig):
+    """Device mesh for the pipeline's data-parallel mode (cfg.devices > 1),
+    or None for the single-device path."""
+    if not cfg.devices or cfg.devices <= 1:
+        return None
+    from ..parallel import mesh as mesh_mod
+
+    return mesh_mod.make_mesh(cfg.devices)
+
+
 def detect_features(images, cfg: PipelineConfig, progress=_noop_progress,
                     masks=None) -> sift.Features:
     """Batched SIFT over all views, chunked to bound device memory.
@@ -127,12 +137,16 @@ def preemptive_filter_pairs(feats: sift.Features, pair_list: np.ndarray,
 
 
 def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig,
-                progress=_noop_progress):
+                progress=_noop_progress, mesh=None):
     """Ratio-test matching for every pair, chunked over the pair list.
     Returns (match_idx (P, N) int32, match_valid (P, N) bool).
 
     With cfg.matching.preemptive, pairs failing the strongest-K prefilter
-    are skipped entirely (their rows come back all-invalid)."""
+    are skipped entirely (their rows come back all-invalid).
+
+    With a mesh, each chunk of pairs is sharded across devices
+    (view-parallel matching, SURVEY.md §2.3 item 3) — the chunk size scales
+    by the mesh width so every device matches a full local batch."""
     P = len(pair_list)
     N = feats.kp.shape[1]
     idx_out = np.zeros((P, N), np.int32)
@@ -143,6 +157,12 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
         # device tunnel) with bigger batches: 19900 pairs at chunk 32 spend
         # ~17s on dispatch alone.
         ch = min(8 * ch, 256)
+    n_dev = 1
+    if mesh is not None:
+        from ..parallel import dist_matching
+
+        n_dev = mesh.shape["shard"]
+        ch = ch * n_dev
     desc = feats.desc
     mask = feats.mask
     rows = np.arange(P)
@@ -156,10 +176,16 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
         pl_pad = np.concatenate([pl, np.repeat(pl[:1], ch - len(pl), 0)]) if len(pl) < ch else pl
         ia = jnp.asarray(pl_pad[:, 0])
         ib = jnp.asarray(pl_pad[:, 1])
-        idx, ok = _match_chunk(
-            desc[ia], desc[ib], mask[ia], mask[ib],
-            cfg.matching.ratio, cfg.matching.cross_check,
-        )
+        if mesh is not None:
+            idx, ok = dist_matching.match_pairs_sharded(
+                mesh, desc[ia], desc[ib], mask[ia], mask[ib],
+                ratio=cfg.matching.ratio, cross_check=cfg.matching.cross_check,
+            )
+        else:
+            idx, ok = _match_chunk(
+                desc[ia], desc[ib], mask[ia], mask[ib],
+                cfg.matching.ratio, cfg.matching.cross_check,
+            )
         out_rows = rows[s : s + len(pl)]
         idx_out[out_rows] = np.asarray(idx)[: len(pl)]
         valid_out[out_rows] = np.asarray(ok)[: len(pl)]
@@ -327,39 +353,54 @@ def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
 
 
 def reconstruct(feats: sift.Features, intr, pair_list, match_idx, match_valid,
-                cfg: PipelineConfig, key=None, progress=_noop_progress):
+                cfg: PipelineConfig, key=None, progress=_noop_progress,
+                cam_group=None, mesh=None):
     """Tracks + reconstruction engine (parity: reconstruction(), .cpp:1283;
-    engine selected per cfg.engine_type like the ESfMEngine enum)."""
+    engine selected per cfg.engine_type like the ESfMEngine enum).
+    cam_group: optional (V,) intrinsic-group ids — views sharing an id share
+    one self-calibrating BA intrinsic block (GroupSharedIntrinsics,
+    sparseBuilder.cpp:554-556)."""
     V, N = np.asarray(feats.mask).shape
     track_ids, n_tracks = tracks_mod.build_tracks(V, N, pair_list, match_idx, match_valid)
+    eng_cfg = cfg.engine
+    if cfg.self_calibrate and cam_group is not None:
+        # RADIAL3 self-calibration end-to-end (ADJUST_ALL parity,
+        # sparseBuilder.cpp:1292-1293).
+        import dataclasses as _dc
+
+        eng_cfg = _dc.replace(eng_cfg, ba=_dc.replace(
+            eng_cfg.ba, refine_intrinsics=True, refine_params="all"))
     if cfg.engine_type == "global":
         from ..sfm import global_sfm
 
         engine = global_sfm.GlobalEngine(
             np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
-            progress=progress,
+            progress=progress, cam_group=cam_group, inc_cfg=eng_cfg,
+            mesh=mesh,
         )
     elif cfg.engine_type == "stellar":
         from ..sfm import stellar
 
         engine = stellar.StellarEngine(
             np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
-            progress=progress,
+            progress=progress, cam_group=cam_group, inc_cfg=eng_cfg,
+            mesh=mesh,
         )
     else:
         engine = incremental.IncrementalEngine(
             np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
-            cfg.engine, progress=progress,
+            eng_cfg, progress=progress, cam_group=cam_group, mesh=mesh,
         )
     scene = engine.run(key)
     return scene, engine
 
 
 def run_sparse(images, intr, cfg: PipelineConfig = PipelineConfig(), key=None,
-               progress=_noop_progress):
+               progress=_noop_progress, cam_group=None):
     """Full sparse pipeline: images -> colorized sparse scene.
 
-    images: (V, H, W[, 3]); intr: (7,) shared or (V, 7).
+    images: (V, H, W[, 3]); intr: (7,) shared or (V, 7); cam_group:
+    optional (V,) shared-intrinsic group ids (see reconstruct).
     Returns (scene, report dict)."""
     t0 = time.time()
     images = np.asarray(images)
@@ -368,15 +409,20 @@ def run_sparse(images, intr, cfg: PipelineConfig = PipelineConfig(), key=None,
         intr = np.tile(intr, (images.shape[0], 1))
     key = jax.random.PRNGKey(0) if key is None else key
     times = {}
+    mesh = get_mesh(cfg)
 
     progress("preprocessing", 0.0)
     feats = detect_features(images, cfg, progress)
+    # block: detect_features returns device arrays asynchronously — without
+    # this the stamp records dispatch time and the real feature cost hides
+    # inside the matching stage (it consumes the descriptors).
+    jax.block_until_ready(feats.desc)
     times["features"] = time.time() - t0
     progress("preprocessing", 1.0)
 
     t1 = time.time()
     pair_list = generate_pairs(images.shape[0], cfg)
-    match_idx, match_valid = match_pairs(feats, pair_list, cfg, progress)
+    match_idx, match_valid = match_pairs(feats, pair_list, cfg, progress, mesh=mesh)
     times["matching"] = time.time() - t1
 
     t2 = time.time()
@@ -390,7 +436,7 @@ def run_sparse(images, intr, cfg: PipelineConfig = PipelineConfig(), key=None,
     key, k = jax.random.split(key)
     scene, engine = reconstruct(
         feats, intr, pair_list[pair_ok], match_idx[pair_ok], match_valid[pair_ok],
-        cfg, k, progress,
+        cfg, k, progress, cam_group=cam_group, mesh=mesh,
     )
     times["reconstruction"] = time.time() - t3
 

@@ -131,6 +131,23 @@ class StagedPipeline:
             intr.append([v["focal_px"], v["focal_px"], v["width"] / 2, v["height"] / 2, 0, 0, 0])
         return np.asarray(intr, np.float32)
 
+    def _intrinsic_groups(self) -> np.ndarray:
+        """Shared-intrinsics group id per view (GroupSharedIntrinsics
+        parity, sparseBuilder.cpp:554-556): views from the same physical
+        camera — same EXIF make/model, dimensions, and focal prior — share
+        one self-calibrating BA intrinsic block.  Distortion starts at zero
+        and is REFINED by BA (RADIAL3 ADJUST_ALL, sparseBuilder.cpp:480-502,
+        1292-1293), so the real-image path no longer assumes a perfect
+        pinhole."""
+        views = self._load_views()
+        keys = {}
+        groups = []
+        for v in views:
+            key = (v.get("camera_model"), v["width"], v["height"],
+                   round(float(v["focal_px"]), 1))
+            groups.append(keys.setdefault(key, len(keys)))
+        return np.asarray(groups, np.int32)
+
     # -- stage 2: sparse ---------------------------------------------------
 
     def sparse(self, key=None):
@@ -143,6 +160,7 @@ class StagedPipeline:
         intr = self._intrinsics()
         V = intr.shape[0]
         key = jax.random.PRNGKey(0) if key is None else key
+        mesh = sp.get_mesh(self.cfg)
 
         # matchPair + match (putative)
         from ..io import reports
@@ -152,7 +170,8 @@ class StagedPipeline:
             pair_list, mi, mv = d["pairs"], d["idx"], d["valid"]
         else:
             pair_list = sp.generate_pairs(V, self.cfg)
-            mi, mv = sp.match_pairs(feats, pair_list, self.cfg, self.progress)
+            mi, mv = sp.match_pairs(feats, pair_list, self.cfg, self.progress,
+                                    mesh=mesh)
             np.savez_compressed(self.ws / "matches_putative.npz",
                                 pairs=pair_list, idx=mi, valid=mv)
             # Diagnostics parity (.cpp:1010-1019): adjacency SVG + stats.
@@ -178,11 +197,13 @@ class StagedPipeline:
                 json.dumps(reports.graph_stats(V, pair_list, counts))
             )
 
-        # reconstruction
+        # reconstruction (with EXIF-identity shared-intrinsic groups so BA
+        # self-calibrates RADIAL3 end-to-end when cfg.self_calibrate).
         key, k = jax.random.split(key)
         scene, engine = sp.reconstruct(
             feats, intr, pair_list[pair_ok], mi[pair_ok], mv[pair_ok],
-            self.cfg, k, self.progress,
+            self.cfg, k, self.progress, cam_group=self._intrinsic_groups(),
+            mesh=mesh,
         )
         # colorize (~ colorize(), sparseBuilder.cpp:1601)
         paths = im_io.list_images(self.image_dir())
@@ -278,7 +299,8 @@ class StagedPipeline:
             intr_np[:, 4:7] = 0.0
             scene = scene.replace(intr=jnp.asarray(intr_np))
         pts, cols, maps = dense_depth.dense_reconstruct(
-            scene, images, rgb, progress=self.progress, return_maps=True
+            scene, images, rgb, cfg=self.cfg.dense, progress=self.progress,
+            return_maps=True, mesh=sp.get_mesh(self.cfg),
         )
         ply.write_ply_points(self.ws / "dense.ply", pts, cols)
         np.savez_compressed(self.ws / "depth_maps.npz", **maps)

@@ -155,7 +155,8 @@ class GlobalEngine:
     """Global pipeline over the same inputs as the incremental engine."""
 
     def __init__(self, kp, intr, track_ids, n_tracks,
-                 cfg: GlobalConfig = GlobalConfig(), progress=None):
+                 cfg: GlobalConfig = GlobalConfig(), progress=None,
+                 cam_group=None, inc_cfg=None, mesh=None):
         self.cfg = cfg
         self.kp = np.asarray(kp)[..., :2].astype(np.float32)
         self.intr = np.asarray(intr, np.float32)
@@ -164,9 +165,12 @@ class GlobalEngine:
         self.T = int(n_tracks)
         self.progress = progress or (lambda *a, **k: None)
         self.log: list[str] = []
-        # Reuse the incremental engine's obs-table machinery for tracks.
-        self._inc = inc_mod.IncrementalEngine(kp, intr, track_ids, n_tracks,
-                                              inc_mod.IncrementalConfig())
+        # Reuse the incremental engine's obs-table machinery for tracks
+        # (and its BA, which carries the shared intrinsic groups).
+        self._inc = inc_mod.IncrementalEngine(
+            kp, intr, track_ids, n_tracks,
+            inc_cfg or inc_mod.IncrementalConfig(), cam_group=cam_group,
+            mesh=mesh)
 
     def relative_poses(self, key, keep_structure: bool = False):
         """Batched essential RANSAC on every view pair with shared tracks.

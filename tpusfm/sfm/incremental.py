@@ -219,7 +219,7 @@ class IncrementalEngine:
     """
 
     def __init__(self, kp, intr, track_ids, n_tracks, cfg: IncrementalConfig = IncrementalConfig(),
-                 progress=None):
+                 progress=None, cam_group=None, mesh=None):
         self.cfg = cfg
         self.kp = np.asarray(kp)[..., :2].astype(np.float32)
         self.intr = np.asarray(intr, np.float32)
@@ -227,6 +227,18 @@ class IncrementalEngine:
         self.V, self.N = self.track_ids.shape
         self.T = int(n_tracks)
         self.progress = progress or (lambda *a, **k: None)
+        # Shared intrinsic groups (GroupSharedIntrinsics parity,
+        # sparseBuilder.cpp:554-556): all views with the same group id share
+        # one BA intrinsic block.  None = one group per view.
+        if cam_group is not None:
+            self.cam_group = np.asarray(cam_group, np.int32)
+            self.n_groups = int(self.cam_group.max()) + 1
+        else:
+            self.cam_group = None
+            self.n_groups = None
+        # Optional device mesh: every BA solve shards its observation table
+        # across the mesh (distributed BA, SURVEY.md §2.3 item 4).
+        self.mesh = mesh
 
         # Preallocated observation table: one row per (view, feat) with a
         # track, padded to a power-of-two capacity so the BA obs-table shape
@@ -560,18 +572,42 @@ class IncrementalEngine:
         )
 
     def run_ba(self, iters: int):
-        cfg = dataclasses.replace(self.cfg.ba, max_iters=iters, fix_first_cam=False)
+        # Self-calibration gate: refining intrinsics off 2-3 registered
+        # views is degenerate (focal/depth trade freely on a near-planar
+        # bootstrap); freeze intrinsics until the map has enough views.
+        refine = self.cfg.ba.refine_intrinsics and int(self.registered.sum()) >= 4
+        cfg = dataclasses.replace(self.cfg.ba, max_iters=iters,
+                                  fix_first_cam=False, refine_intrinsics=refine)
         free = self.registered.copy()
         free[self.gauge_cam] = False
         args = self._scene_arrays()
-        intr, rot, t, pts, info = jax.device_get(ba.bundle_adjust(
-            cfg=cfg, cam_free_mask=jnp.asarray(free), **args
-        ))
+        kw = {}
+        if self.cam_group is not None:
+            kw = dict(cam_group=jnp.asarray(self.cam_group),
+                      n_groups=self.n_groups)
+        if self.mesh is not None:
+            from ..parallel import dist_ba
+
+            n_dev = self.mesh.shape["shard"]
+            ocam, opt, ouv, omask = dist_ba.shard_obs_table(
+                np.asarray(args.pop("obs_cam")), np.asarray(args.pop("obs_pt")),
+                np.asarray(args.pop("obs_uv")), np.asarray(args.pop("obs_mask")),
+                n_dev)
+            intr, rot, t, pts, info = jax.device_get(
+                dist_ba.bundle_adjust_sharded(
+                    self.mesh, obs_cam=ocam, obs_pt=opt, obs_uv=ouv,
+                    obs_mask=omask, cfg=cfg,
+                    cam_free_mask=jnp.asarray(free), **args, **kw,
+                ))
+        else:
+            intr, rot, t, pts, info = jax.device_get(ba.bundle_adjust(
+                cfg=cfg, cam_free_mask=jnp.asarray(free), **args, **kw
+            ))
         # device_get copies: one batched host readback per BA call.
         self.aa = np.array(rot)
         self.t = np.array(t)
         self.points = np.array(pts)
-        if self.cfg.ba.refine_intrinsics:
+        if refine:
             self.intr = np.array(intr)
         return info
 
@@ -593,6 +629,24 @@ class IncrementalEngine:
         scale = 1.0 + r2 * (k[:, 0:1] + r2 * (k[:, 1:2] + r2 * k[:, 2:3]))
         uv = xn * scale * intr[:, :2] + intr[:, 2:4]
         return np.linalg.norm(uv - self.obs_uv, axis=-1)
+
+    def recover_observations(self) -> int:
+        """Re-admit washed-out observations that fit the CURRENT (refined)
+        camera model within the wash threshold.  Complements wash_outliers:
+        washing is greedy against the model of its time; after
+        self-calibration refines distortion, periphery observations washed
+        for pre-calibration residuals become inliers again."""
+        errs = self._np_reproj_errors()
+        cand = (
+            self._obs_real
+            & self.registered[self.obs_cam]
+            & self.point_active[self.obs_pt]
+            & ~(self.obs_ok & self.obs_inlier)
+            & (errs < self.cfg.reproj_outlier_px)
+        )
+        self.obs_ok[cand] = True
+        self.obs_inlier[cand] = True
+        return int(cand.sum())
 
     def wash_outliers(self):
         """Deactivate high-residual observations and starved points
@@ -666,6 +720,21 @@ class IncrementalEngine:
         info = self.run_ba(cfg.final_ba_iters)
         self.wash_outliers()
         self.run_ba(cfg.step_ba_iters)
+        if self.cfg.ba.refine_intrinsics:
+            # Observation-recovery pass (COLMAP-style iterative refinement):
+            # pre-calibration residuals at the image periphery exceed the
+            # wash threshold (a k1 of -0.2 is ~10 px at the corners), so the
+            # very observations that best constrain distortion get washed
+            # before self-calibration converges.  Re-admit any washed
+            # observation that fits the refined RADIAL3 model, then re-run
+            # BA on the recovered support.
+            recovered = self.recover_observations()
+            if recovered:
+                self.run_ba(cfg.step_ba_iters)
+                self.wash_outliers()
+                self.run_ba(cfg.step_ba_iters)
+                self.log.append(f"recovered {recovered} observations after "
+                                "self-calibration")
         self.log.append(
             f"final: {self.n_registered}/{self.V} views, "
             f"{int(self.point_active.sum())} points, cost {float(info['final_cost']):.1f}"

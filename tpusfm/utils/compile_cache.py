@@ -18,6 +18,24 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 _enabled = False
 
 
+def _host_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{flags}"
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
 def enable(cache_dir: str | None = None) -> str | None:
     """Enable the JAX persistent compilation cache (idempotent).
 
@@ -28,6 +46,12 @@ def enable(cache_dir: str | None = None) -> str | None:
     if env in ("0", "off", "none"):
         return None
     d = cache_dir or env or _DEFAULT_DIR
+    # Namespace by a host-CPU fingerprint: XLA:CPU caches AOT executables
+    # compiled for the COMPILING machine's feature set (avx512/amx/...);
+    # loading one on a host without those features SIGILLs/segfaults (the
+    # cpu_aot_loader warns exactly this).  A per-fingerprint subdir makes
+    # the cache safe to share across heterogeneous machines.
+    d = os.path.join(d, _host_fingerprint())
     try:
         import jax
 
