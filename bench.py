@@ -102,12 +102,16 @@ def _ba_500_iters_per_s(small: bool) -> float:
     )
     cfg = ba.BAConfig(max_iters=10, cg_iters=30)
     out = ba.bundle_adjust(cfg=cfg, **args)
-    jax.block_until_ready(out[3])  # compile
+    # IMPORTANT: force with a VALUE FETCH, not block_until_ready — on the
+    # tunneled axon backend block_until_ready returns before device
+    # execution completes, which silently inflated round-1's recorded
+    # 2.41 it/s (the honest fetch-forced number is ~1.6).  See PERF.md.
+    _ = np.asarray(out[3])  # compile + force
     t0 = _time.time()
     out = ba.bundle_adjust(cfg=cfg, **args)
-    jax.block_until_ready(out[3])
+    _ = np.asarray(out[3])
     dt = _time.time() - t0
-    n_it = max(float(out[4]["iterations"]), 1.0)  # LM may converge early
+    n_it = max(float(jax.device_get(out[4]["iterations"])), 1.0)
     return n_it / dt
 
 

@@ -98,17 +98,26 @@ class BAConfig:
                                    # §2.3 item 4); None = single device
     impl: str = "auto"             # "auto" | "pallas" | "xla".  The pallas
                                    # path sorts + rank-compacts the obs table
-                                   # once per solve and runs every SCATTER
-                                   # (segment-sum) as an MXU one-hot matmul
-                                   # (ops/obs_table.py); gathers stay on XLA
-                                   # (measured faster).  2.7x end-to-end at
-                                   # 500 cams / 1.5M obs on v5e (0.92 -> 2.45
-                                   # LM it/s).  Reductions land in point
-                                   # space, so the path also runs sharded
-                                   # under shard_map (psum like the XLA
-                                   # path).  auto = pallas on TPU.
+                                   # once per solve, runs every segment-sum
+                                   # as an MXU one-hot matmul, and the Schur
+                                   # matvec through the fused single-pass
+                                   # kernels (ops/obs_table.py schur_fwd/
+                                   # schur_bwd); per-obs gathers stay on XLA
+                                   # (measured faster in-situ).  Reductions
+                                   # are psum-hooked, so the path also runs
+                                   # sharded under shard_map (dist_ba).
+                                   # auto = pallas on TPU.  Measured cost
+                                   # breakdown + roofline: PERF.md.
     pallas_interpret: bool = False  # run the pallas kernels in interpret
                                     # mode (CPU tests of the pallas path)
+    precond: str = "schur_diag"    # PCG preconditioner: "schur_diag" (exact
+                                   # S diagonal blocks — Ceres SCHUR_JACOBI
+                                   # analog) or "hcc" (damped Hcc blocks —
+                                   # one fewer obs-table pass per LM iter,
+                                   # typically a few more CG iters)
+    pallas_gathers: bool = False   # route the per-obs table gathers through
+                                   # the one-hot / windowed pallas kernels
+                                   # instead of XLA row gathers
     # Direct dense-Schur solve for small reduced systems: when the reduced
     # system is at most this many scalars wide (C*6 + refined G*7), assemble
     # S densely and solve by Cholesky instead of running PCG.  A 20-camera
@@ -478,13 +487,21 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
     rank_scatter_ids = jnp.where(rank_valid, rank_to_pt, P)
 
     def _gather(table, idx):
-        # Per-obs gathers stay on XLA: measured 7 ms/op at 1.5M rows on v5e
-        # vs 8-12 ms for the one-hot matmul kernels (ops/obs_table.py
-        # docstring) — XLA's native row gather wins, it's the SCATTERS the
-        # pallas segsums replace.
         n = table.shape[0]
+        if cfg.pallas_gathers and table.shape[0] <= 4096:
+            # Small (camera/group) tables: one-hot MXU gather.
+            return ot.gather_table(table, idx, interpret=itp)
         ok = idx < n
         return jnp.where(ok[:, None], table[jnp.where(ok, idx, 0)], 0.0)
+
+    def _gather_pts(pts):
+        """Per-obs point gather; the obs table is point-sorted, so the
+        windowed rank gather applies when enabled."""
+        if cfg.pallas_gathers:
+            pts_rank = jnp.where(rank_valid[:, None],
+                                 pts[jnp.minimum(rank_to_pt, P - 1)], 0.0)
+            return ot.gather_sorted(pts_rank, ranks, interpret=itp)
+        return _gather(pts, obs_pt)
 
     def pt_reduce(vals):
         """(O, Dv) -> per-point sums (P, Dv), psum-reduced when sharded."""
@@ -503,7 +520,7 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
     def cost_of(ps, gi, pts):
         pose_o = _gather(ps, obs_cam)
         intr_o = _gather(gi, obs_grp)
-        X_o = _gather(pts, obs_pt)
+        X_o = _gather_pts(pts)
         r = jax.vmap(_residual_one)(pose_o, intr_o, X_o, obs_uv)
         return _maybe_psum(robust_cost(r, obs_w, cfg.huber_delta), ax)
 
@@ -511,7 +528,7 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         ps, gi, pts, lam, cost, done, it = carry
         pose_o = _gather(ps, obs_cam)
         intr_o = _gather(gi, obs_grp)
-        X_o = _gather(pts, obs_pt)
+        X_o = _gather_pts(pts)
         r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, obs_uv, refine)
         w = (_huber_weight(r, cfg.huber_delta) * obs_w)[:, None]
         r = r * w
@@ -554,21 +571,44 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         Hpp_inv = _inv3(_damp_blocks(Hpp, lam))
         Hgg_d = _damp_blocks(Hgg, lam) if refine else None
 
+        # Flattened coupling tables + rank-space helpers for the fused
+        # Schur kernels (ops/obs_table.py schur_fwd/schur_bwd: ONE pass
+        # over W per matvec direction instead of gather+einsum+segsum).
+        Wc_flat = Wc3.reshape(-1, D * 3)
+        Wg_flat = Wg3.reshape(-1, E * 3) if refine else None
+        safe_r2p = jnp.minimum(rank_to_pt, P - 1)
+        Hinv_rank = jnp.where(rank_valid[:, None, None],
+                              Hpp_inv[safe_r2p], 0.0)
+
+        def to_rank(tab_p):
+            return jnp.where(rank_valid[:, None], tab_p[safe_r2p], 0.0)
+
+        def from_rank(tab_r):
+            return jnp.zeros((P, tab_r.shape[1]), tab_r.dtype).at[
+                rank_scatter_ids].add(
+                jnp.where(rank_valid[:, None], tab_r, 0.0), mode="drop")
+
         # rhs = -g + W Hpp^-1 gp  (per block type)
-        z = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
-        z_o = _gather(z, obs_pt)
-        rhs_c = (-gc + cam_reduce(jnp.einsum("oij,oj->oi", Wc3, z_o))) * upd_c
+        z_rank = to_rank(jnp.einsum("pij,pj->pi", Hpp_inv, gp))
+        rhs_c = (-gc + _maybe_psum(
+            ot.schur_bwd(Wc_flat, obs_cam, ranks, z_rank, C, interpret=itp),
+            ax)) * upd_c
         rhs = {"c": rhs_c}
         if refine:
-            rhs["g"] = (-gg + grp_reduce(jnp.einsum("oij,oj->oi", Wg3, z_o))) * upd_g
+            rhs["g"] = (-gg + _maybe_psum(
+                ot.schur_bwd(Wg_flat, obs_grp, ranks, z_rank, G,
+                             interpret=itp), ax)) * upd_g
 
         # Block-Jacobi preconditioner: exact S diagonal on pose blocks
         # (one obs per (cam, point) pair), damped Hgg on group blocks
         # (groups span many cameras; their diagonal is dominated by Hgg).
-        Hinv_o = _gather(Hpp_inv.reshape(P, 9), obs_pt).reshape(-1, 3, 3)
-        contrib = jnp.einsum("oij,ojk,olk->oil", Wc3, Hinv_o, Wc3)
-        S_diag = Hcc_d - cam_reduce(contrib.reshape(-1, D * D)).reshape(C, D, D)
-        M_inv_c = _invD(S_diag)
+        if cfg.precond == "schur_diag":
+            Hinv_o = _gather(Hpp_inv.reshape(P, 9), obs_pt).reshape(-1, 3, 3)
+            contrib = jnp.einsum("oij,ojk,olk->oil", Wc3, Hinv_o, Wc3)
+            S_diag = Hcc_d - cam_reduce(contrib.reshape(-1, D * D)).reshape(C, D, D)
+            M_inv_c = _invD(S_diag)
+        else:  # "hcc": damped Hcc blocks only — one fewer obs-table pass
+            M_inv_c = _invD(Hcc_d)
         M_inv_g = _invD(Hgg_d) if refine else None
 
         def apply_M(v):
@@ -579,18 +619,26 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
 
         def mv(v):
             vc = v["c"] * upd_c
-            u = jnp.einsum("oij,oi->oj", Wc3, _gather(vc, obs_cam))
+            y_r = ot.schur_fwd(Wc_flat, obs_cam, ranks, vc, P, interpret=itp)
             if refine:
                 vg = v["g"] * upd_g
-                u = u + jnp.einsum("oij,oi->oj", Wg3, _gather(vg, obs_grp))
-            y = pt_reduce(u)
-            zz = jnp.einsum("pij,pj->pi", Hpp_inv, y)
-            zz_o = _gather(zz, obs_pt)
-            bc = cam_reduce(jnp.einsum("oij,oj->oi", Wc3, zz_o))
+                y_r = y_r + ot.schur_fwd(Wg_flat, obs_grp, ranks, vg, P,
+                                         interpret=itp)
+            if ax:
+                # Cross-shard coupling: shard-local rank spaces differ, so
+                # the point reduction must round-trip through (replicated)
+                # point space with a psum.
+                z_r = to_rank(jnp.einsum(
+                    "pij,pj->pi", Hpp_inv, _maybe_psum(from_rank(y_r), ax)))
+            else:
+                z_r = jnp.einsum("pij,pj->pi", Hinv_rank, y_r)
+            bc = _maybe_psum(ot.schur_bwd(Wc_flat, obs_cam, ranks, z_r, C,
+                                          interpret=itp), ax)
             Hvc = jnp.einsum("cij,cj->ci", Hcc_d, vc)
             if refine:
                 Hvc = Hvc + jnp.einsum("cde,ce->cd", Hcg, vg[cam_group])
-                bg = grp_reduce(jnp.einsum("oij,oj->oi", Wg3, zz_o))
+                bg = _maybe_psum(ot.schur_bwd(Wg_flat, obs_grp, ranks, z_r,
+                                              G, interpret=itp), ax)
                 Hvg = jnp.einsum("gef,gf->ge", Hgg_d, vg) + jax.ops.segment_sum(
                     jnp.einsum("cde,cd->ce", Hcg, vc), cam_group, G)
                 out = {"c": (Hvc - bc) * upd_c, "g": (Hvg - bg) * upd_g}
@@ -601,10 +649,11 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         d = _pcg(mv, rhs, apply_M, cfg.cg_iters, cfg.cg_tol)
         dc = d["c"] * upd_c
         dg = d["g"] * upd_g if refine else None
-        u = jnp.einsum("oij,oi->oj", Wc3, _gather(dc, obs_cam))
+        Wtd_r = ot.schur_fwd(Wc_flat, obs_cam, ranks, dc, P, interpret=itp)
         if refine:
-            u = u + jnp.einsum("oij,oi->oj", Wg3, _gather(dg, obs_grp))
-        Wtd = pt_reduce(u)
+            Wtd_r = Wtd_r + ot.schur_fwd(Wg_flat, obs_grp, ranks, dg, P,
+                                         interpret=itp)
+        Wtd = _maybe_psum(from_rank(Wtd_r), ax)
         dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtd) * pt_upd
 
         ps_new = ps + dc

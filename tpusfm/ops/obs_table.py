@@ -313,3 +313,209 @@ def sort_and_rank(seg_ids: jnp.ndarray, valid: jnp.ndarray, n_segments: int):
         valid_s, mode="drop"
     )[:n_segments]
     return order, ranks, rank_to_seg, rank_valid
+
+
+# ---------------------------------------------------------------------------
+# Fused Schur-matvec kernels
+# ---------------------------------------------------------------------------
+#
+# The Schur matvec S @ v = Hcc_d v - W Hpp^-1 W^T v runs inside every PCG
+# iteration; composed from the generic primitives above it takes ~6 HBM
+# passes over the (O, D*3) coupling table (gather vc, einsum, point segsum,
+# gather z, einsum, cam segsum) at ~50 ms per matvec for 1.5M observations
+# on v5e — ~130x off the table's single-pass speed-of-light (~0.4 ms).
+# These two kernels fuse each DIRECTION into ONE pass over W:
+#
+#   schur_fwd:  y_p = sum_{o in p} W_o^T v_{cam(o)}     (one W read)
+#   schur_bwd:  b_c = sum_{o in c} W_o z_{pt(o)}        (one W read)
+#
+# The per-observation (D, 3) contraction is expressed as constant 0/1
+# selection matmuls so everything stays on the MXU/VPU with exact-f32
+# results (the 0/1 matrices are exact in bf16; float operands use the same
+# hi/mid/lo 3-split as _oh_dot):
+#
+#   Wv_o = (repeat(vg_o) * W_o) @ Sel        repeat = vg @ Rep, Rep (D, 3D)
+#   bk_o = (tile(zg_o) * W_o) @ RepT         tile = zg @ SelT,  Sel (3D, 3)
+#
+# with Rep[d, e] = [e // 3 == d] and Sel[e, k] = [e % 3 == k].
+
+
+def _split3(vals: jnp.ndarray):
+    """hi/mid/lo bf16 split of f32 values (exact to f32 round-off)."""
+    hi = vals.astype(jnp.bfloat16)
+    rem = vals - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot_vals01(vals: jnp.ndarray, m01: jnp.ndarray):
+    """Exact f32 vals (B, E) @ 0/1 matrix (E, F) at bf16 MXU rate."""
+    hi, mid, lo = _split3(vals)
+    m = m01.astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+
+    def d(v):
+        return jax.lax.dot_general(v, m, dn, preferred_element_type=jnp.float32)
+
+    return d(hi) + d(mid) + d(lo)
+
+
+def _rep_sel(d_block: int):
+    """Constant selection matrices for the (D, 3) contraction layout.
+    Rep (D, 3D): Rep[d, e] = [e // 3 == d];  Sel (3D, 3): Sel[e, k] = [e % 3 == k]."""
+    e = jax.lax.broadcasted_iota(jnp.int32, (d_block, 3 * d_block), 1)
+    drow = jax.lax.broadcasted_iota(jnp.int32, (d_block, 3 * d_block), 0)
+    rep = (e // 3 == drow).astype(jnp.float32)
+    e2 = jax.lax.broadcasted_iota(jnp.int32, (3 * d_block, 3), 0)
+    k2 = jax.lax.broadcasted_iota(jnp.int32, (3 * d_block, 3), 1)
+    sel = (e2 % 3 == k2).astype(jnp.float32)
+    return rep, sel
+
+
+def _schur_fwd_kernel(wstart_ref, idx_ref, cam_ref, w_ref, vtab_ref, out_ref):
+    """Per grid step (s, j): KSUB sub-blocks of fused W^T v partials."""
+    j = pl.program_id(1)
+    s = pl.program_id(0)
+    dblk = vtab_ref.shape[1]
+    ncam = vtab_ref.shape[0]
+    rep, sel = _rep_sel(dblk)
+    idx = idx_ref[:]
+    cam = cam_ref[:]
+    w = w_ref[:]
+
+    # vg = onehot_cam @ vtab, computed for the whole KSUB*B block at once.
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cam.shape[0], ncam), 1)
+    onehot_c = (cols == cam).astype(jnp.bfloat16)
+    vg = _oh_dot(onehot_c, vtab_ref[:], contract_lhs=1)     # (KB, D)
+    eg = _dot_vals01(vg, rep)                               # (KB, 3D)
+    wv = _dot_vals01(eg * w, sel)                           # (KB, 3)
+
+    for k in range(KSUB):
+        base = (wstart_ref[s * KSUB + k] + j) * B
+        idx_k = idx[k * B:(k + 1) * B]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+        onehot = (cols == (idx_k - base)).astype(jnp.bfloat16)
+        out_ref[k * B:(k + 1) * B, :] = _oh_dot(
+            onehot, wv[k * B:(k + 1) * B], contract_lhs=0
+        )
+
+
+@partial(jax.jit, static_argnames=("p", "interpret"))
+def schur_fwd(w_flat: jnp.ndarray, obs_cam: jnp.ndarray,
+              idx_sorted: jnp.ndarray, vtab: jnp.ndarray, p: int,
+              interpret: bool = False):
+    """Fused y = segsum_by_point(W_o^T v_cam(o)): w_flat (O, D*3) f32
+    point-sorted, obs_cam (O,) ids into vtab (C, D), idx_sorted (O,) dense
+    sorted point ranks.  Returns (p, 3) per-rank sums in ONE pass over W."""
+    o, dd3 = w_flat.shape
+    dblk = dd3 // 3
+    c, _ = vtab.shape
+    o_p = _ceil_to(max(o, 1), B * KSUB)
+    p_tab = _ceil_to(max(p, 1), B) + B
+    c_p = _ceil_to(max(c, 1), 8)
+    nb = o_p // B
+    ns = nb // KSUB
+    idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
+                      value=p_tab - B)
+    cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p, value=c_p)
+    w_p = _pad_rows(w_flat.astype(jnp.float32), o_p)
+    vtab_p = _pad_rows(vtab.astype(jnp.float32), c_p)
+    wstart = jnp.minimum(idx_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
+    partials = pl.pallas_call(
+        _schur_fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ns, 2),
+            in_specs=[
+                pl.BlockSpec((B * KSUB, 1), lambda s, j, ws: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B * KSUB, 1), lambda s, j, ws: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B * KSUB, dd3), lambda s, j, ws: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c_p, dblk), lambda s, j, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B * KSUB, 3),
+                                   lambda s, j, ws: (s * 2 + j, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb * 2 * B, 3), jnp.float32),
+        interpret=interpret,
+    )(wstart, idx_p, cam_p, w_p, vtab_p)
+    ids = jnp.stack([wstart.reshape(ns, KSUB), wstart.reshape(ns, KSUB) + 1],
+                    axis=1).reshape(-1)
+    flat = partials.reshape(nb * 2, B * 3)
+    folded = jax.ops.segment_sum(flat, ids, num_segments=p_tab // B)
+    return folded.reshape(p_tab, 3)[:p]
+
+
+def _schur_bwd_kernel(wstart_ref, idx_ref, cam_ref, w_ref, ztab_ref, out_ref):
+    """Per grid step (b, j): fused b_c += onehot_cam^T (W_o z_pt(o))_halfj."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    dblk = out_ref.shape[1]
+    rep, sel = _rep_sel(dblk)
+    base = (wstart_ref[b] + j) * B
+    idx = idx_ref[:]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], B), 1)
+    onehot_w = (cols == (idx - base)).astype(jnp.bfloat16)
+    zg = _oh_dot(onehot_w, ztab_ref[:], contract_lhs=1)     # (B, 3) half-j
+    tile = _dot_vals01(zg, sel.T)                           # (B, 3D)
+    bk = _dot_vals01(tile * w_ref[:], rep.T)                # (B, D)
+
+    cam = cam_ref[:]
+    ncam = out_ref.shape[0]
+    cols_c = jax.lax.broadcasted_iota(jnp.int32, (cam.shape[0], ncam), 1)
+    onehot_c = (cols_c == cam).astype(jnp.bfloat16)
+    contrib = _oh_dot(onehot_c, bk, contract_lhs=0)
+
+    @pl.when((b == 0) & (j == 0))
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += contrib
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def schur_bwd(w_flat: jnp.ndarray, obs_cam: jnp.ndarray,
+              idx_sorted: jnp.ndarray, ztab: jnp.ndarray, n: int,
+              interpret: bool = False):
+    """Fused b = segsum_by_cam(W_o z_pt(o)): w_flat (O, D*3) f32
+    point-sorted, idx_sorted (O,) dense sorted point ranks into ztab (P, 3),
+    obs_cam (O,) ids in [0, n).  Returns (n, D) in ONE pass over W."""
+    o, dd3 = w_flat.shape
+    dblk = dd3 // 3
+    p_z = ztab.shape[0]
+    o_p = _ceil_to(max(o, 1), B)
+    p_tab = _ceil_to(max(p_z, 1), B) + B
+    n_p = _ceil_to(max(n, 1), 8)
+    idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
+                      value=p_tab - B)
+    cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p, value=n_p)
+    w_p = _pad_rows(w_flat.astype(jnp.float32), o_p)
+    ztab_p = _pad_rows(ztab.astype(jnp.float32), p_tab)
+    wstart = jnp.minimum(idx_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
+    out = pl.pallas_call(
+        _schur_bwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(o_p // B, 2),
+            in_specs=[
+                pl.BlockSpec((B, 1), lambda b, j, ws: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda b, j, ws: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, dd3), lambda b, j, ws: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 3), lambda b, j, ws: (ws[b] + j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((n_p, dblk), lambda b, j, ws: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_p, dblk), jnp.float32),
+        interpret=interpret,
+    )(wstart, idx_p, cam_p, w_p, ztab_p)
+    return out[:n]
