@@ -122,3 +122,16 @@ def urllib_status(port, path):
             return r.status, r.read()
     except urllib.error.HTTPError as e:
         return e.code, b""
+
+
+def test_upload_binary_payload_exact(service):
+    """Multipart parsing must preserve payloads byte-exact — including
+    trailing CR/LF/'-' bytes that a naive delimiter rstrip would eat
+    (RFC 2046: the delimiter's leading CRLF belongs to the framing)."""
+    ws, state, port = service
+    payload = bytes(range(256)) * 3 + b"\r\n-" + b"\x2d\x0d\x0a"
+    code, body = _post_multipart(port, "/upload", [("tricky.bin", payload)])
+    assert code == 200
+    assert json.loads(body)["saved"] == ["tricky.bin"]
+    assert (ws / "images" / "tricky.bin").read_bytes() == payload
+    (ws / "images" / "tricky.bin").unlink()

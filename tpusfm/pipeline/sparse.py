@@ -354,12 +354,16 @@ def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
 
 def reconstruct(feats: sift.Features, intr, pair_list, match_idx, match_valid,
                 cfg: PipelineConfig, key=None, progress=_noop_progress,
-                cam_group=None, mesh=None):
+                cam_group=None, mesh=None, init_scene=None):
     """Tracks + reconstruction engine (parity: reconstruction(), .cpp:1283;
     engine selected per cfg.engine_type like the ESfMEngine enum).
     cam_group: optional (V,) intrinsic-group ids — views sharing an id share
     one self-calibrating BA intrinsic block (GroupSharedIntrinsics,
-    sparseBuilder.cpp:554-556)."""
+    sparseBuilder.cpp:554-556).
+    init_scene: optional prior Scene over the same track table — the
+    incremental engine seeds its poses/points from it and registers only
+    the remaining views (EXISTING_POSES initializer parity,
+    sparseBuilder.cpp:188-193)."""
     V, N = np.asarray(feats.mask).shape
     track_ids, n_tracks = tracks_mod.build_tracks(V, N, pair_list, match_idx, match_valid)
     eng_cfg = cfg.engine
@@ -391,6 +395,8 @@ def reconstruct(feats: sift.Features, intr, pair_list, match_idx, match_valid,
             np.asarray(feats.kp), np.asarray(intr), track_ids, n_tracks,
             eng_cfg, progress=progress, cam_group=cam_group, mesh=mesh,
         )
+        if init_scene is not None:
+            engine.seed_from_scene(init_scene)
     scene = engine.run(key)
     return scene, engine
 

@@ -199,16 +199,43 @@ class StagedPipeline:
 
         # reconstruction (with EXIF-identity shared-intrinsic groups so BA
         # self-calibrates RADIAL3 end-to-end when cfg.self_calibrate).
+        # A previous scene.npz seeds the engine (EXISTING_POSES initializer
+        # parity, sparseBuilder.cpp:188-193): only unregistered views are
+        # resected on a re-run.
+        init_scene = None
+        if not self.force and (self.ws / "scene.npz").exists():
+            try:
+                prev = scene_mod.load_scene_npz(str(self.ws / "scene.npz"))
+                if int(np.asarray(prev.cam_mask).sum()) >= 2:
+                    init_scene = prev
+            except Exception:
+                init_scene = None
         key, k = jax.random.split(key)
         scene, engine = sp.reconstruct(
             feats, intr, pair_list[pair_ok], mi[pair_ok], mv[pair_ok],
             self.cfg, k, self.progress, cam_group=self._intrinsic_groups(),
-            mesh=mesh,
+            mesh=mesh, init_scene=init_scene,
         )
         # colorize (~ colorize(), sparseBuilder.cpp:1601)
         paths = im_io.list_images(self.image_dir())
         rgb = im_io.load_images_rgb(paths)
         scene = engine.colorize(scene, rgb)
+
+        # GPS geo-registration (parity: getGPS pose priors,
+        # sparseBuilder.cpp:112-171): with >= 3 GPS-tagged registered
+        # views, similarity-align the reconstruction into the local ENU
+        # metric frame before writing artifacts.
+        geo_info = None
+        gps_list = [tuple(v["gps"]) if v.get("gps") else None
+                    for v in self._load_views()]
+        if sum(g is not None for g in gps_list) >= 3:
+            from ..utils import geo
+
+            try:
+                scene, geo_info = geo.georegister_scene(scene, gps_list)
+                self.progress("sparse", 0.95, geo_rms_m=geo_info["rms_m"])
+            except ValueError as e:
+                self.progress("sparse", 0.95, warning=f"geo-registration: {e}")
 
         scene_mod.save_scene_npz(str(self.ws / "scene.npz"), scene)
         # External-tool interchange (~ DenseBuilder::save -> .mvs,
@@ -248,7 +275,17 @@ class StagedPipeline:
             ) if np.asarray(scene.obs_mask).any() else None,
             "elapsed_s": round(time.time() - t0, 2),
             "engine_log": engine.log,
+            "geo": geo_info,
         }
+        # Interactive inspection artifact (parity: WorldStructure::show,
+        # src/world/WorldStructure.h:108-155) — self-contained WebGL page,
+        # opens offline and is served at /files/viewer.html.
+        from ..io import viewer as viewer_mod
+
+        try:
+            viewer_mod.write_scene_viewer(self.ws / "viewer.html", scene)
+        except Exception as e:
+            self.progress("sparse", 1.0, warning=f"viewer write failed: {e}")
         (self.ws / "report.json").write_text(json.dumps(report, indent=2))
         reports.write_html_report(
             self.ws / "report.html", report,
@@ -304,6 +341,19 @@ class StagedPipeline:
         )
         ply.write_ply_points(self.ws / "dense.ply", pts, cols)
         np.savez_compressed(self.ws / "depth_maps.npz", **maps)
+        # Refresh the viewer with the dense cloud.
+        from ..io import viewer as viewer_mod
+        from ..core import lie as lie_mod
+
+        try:
+            reg_m = np.asarray(scene.cam_mask)
+            viewer_mod.write_viewer_html(
+                self.ws / "viewer.html", pts, cols,
+                cam_rotations=np.asarray(lie_mod.so3_exp(scene.cam_rot))[reg_m],
+                cam_centers=np.asarray(scene.camera_centers())[reg_m],
+                title="tpusfm dense reconstruction")
+        except Exception as e:
+            self.progress("dense", 1.0, warning=f"viewer write failed: {e}")
         self.progress("dense", 1.0, n_points=int(len(pts)))
         return pts, cols
 

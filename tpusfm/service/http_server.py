@@ -156,7 +156,19 @@ def make_handler(state: ServiceState):
                 return self._reply("expected multipart/form-data", 400)
             boundary = m.group(1).strip('"').encode()
             saved = []
-            for part in body.split(b"--" + boundary):
+            # RFC 2046 framing: parts are delimited by CRLF + "--" +
+            # boundary; the delimiter's leading CRLF belongs to the
+            # FRAMING, not the content.  (A blanket rstrip of '-'/CR/LF
+            # would corrupt binary payloads whose last bytes happen to be
+            # those values.)
+            delim = b"\r\n--" + boundary
+            # The first boundary has no leading CRLF; normalize.
+            payload = b"\r\n" + body
+            for part in payload.split(delim)[1:]:
+                if part.startswith(b"--"):  # closing delimiter
+                    break
+                if part.startswith(b"\r\n"):
+                    part = part[2:]
                 if b"\r\n\r\n" not in part:
                     continue
                 head, content = part.split(b"\r\n\r\n", 1)
@@ -164,7 +176,6 @@ def make_handler(state: ServiceState):
                 if not fn:
                     continue
                 name = Path(fn.group(1).decode(errors="replace")).name
-                content = content.rstrip(b"\r\n-")
                 out = state.pipeline.image_dir() / name
                 out.write_bytes(content)
                 saved.append(name)

@@ -420,6 +420,41 @@ class IncrementalEngine:
         self.progress("reconstruction", 2.0 / self.V)
         return key
 
+    def seed_from_scene(self, scene) -> int:
+        """EXISTING_POSES initialization (parity: ESfMSceneInitializer::
+        INITIALIZE_EXISTING_POSES, sparseBuilder.cpp:188-193): seed the
+        engine from a previously reconstructed scene over the SAME track
+        table (the staged workspace resume case — same matches produce the
+        same track ids), so run() registers only the remaining views.
+
+        Returns the number of seeded views."""
+        reg = np.asarray(scene.cam_mask)[: self.V]
+        if reg.sum() < 2:
+            return 0
+        self.registered[: len(reg)] = reg
+        self.aa[reg] = np.asarray(scene.cam_rot)[: self.V][reg]
+        self.t[reg] = np.asarray(scene.cam_t)[: self.V][reg]
+        si = np.asarray(scene.intr)[: self.V]
+        self.intr[reg] = si[reg]
+        pm = np.asarray(scene.point_mask)
+        n = min(len(pm), len(self.point_active))
+        self.point_active[:n] = pm[:n]
+        self.points[:n][pm[:n]] = np.asarray(scene.points)[:n][pm[:n]]
+        # Re-activate observations supported by the seeded map.
+        sel = (
+            self.registered[self.obs_cam]
+            & self.point_active[self.obs_pt]
+            & self.obs_ok
+        )
+        self.obs_inlier |= sel
+        self.gauge_cam = int(np.nonzero(reg)[0][0])
+        self.n_registered = int(reg.sum())
+        self.log.append(
+            f"seeded from existing scene: {self.n_registered} views, "
+            f"{int(self.point_active.sum())} points"
+        )
+        return self.n_registered
+
     def next_views(self, k: int):
         """Up to k unregistered views, best-first by active-point count.
 
@@ -499,8 +534,24 @@ class IncrementalEngine:
         cand_rows = np.nonzero(usable & ~self.point_active[self.obs_pt])[0]
         if len(cand_rows) == 0:
             return 0
-        # Group rows by track.
-        order = np.argsort(self.obs_pt[cand_rows], kind="stable")
+        # Group rows by track, widest-baseline observations first: tracks
+        # longer than max_views_per_track truncate, so order each group by
+        # camera-center distance from the group centroid (descending) —
+        # the truncated subset keeps the widest-baseline views instead of
+        # an arbitrary first-Vm (better-conditioned triangulation).
+        from scipy.spatial.transform import Rotation
+
+        R_all = Rotation.from_rotvec(self.aa).as_matrix()
+        centers = -np.einsum("vij,vi->vj", R_all, self.t)
+        c_obs = centers[self.obs_cam[cand_rows]]
+        pts0 = self.obs_pt[cand_rows]
+        n_pts = len(self.point_active)
+        cnt = np.bincount(pts0, minlength=n_pts)[:, None]
+        centroid = np.zeros((n_pts, 3))
+        np.add.at(centroid, pts0, c_obs)
+        centroid = centroid / np.maximum(cnt, 1)
+        dist = np.linalg.norm(c_obs - centroid[pts0], axis=1)
+        order = np.lexsort((-dist, pts0))
         rows = cand_rows[order]
         pts = self.obs_pt[rows]
         uniq, starts, counts = np.unique(pts, return_index=True, return_counts=True)
@@ -668,15 +719,21 @@ class IncrementalEngine:
     def run(self, key=None) -> Scene:
         cfg = self.cfg
         key = jax.random.PRNGKey(0) if key is None else key
-        try:
-            key = self.bootstrap(key)
-        except RuntimeError as e:
-            # Graceful degradation (the reference crash-exits via ensure(),
-            # common.h:13-23): an unreconstructable input produces an empty
-            # scene + log entry, and the service reports it as a stage error.
-            self.log.append(f"reconstruction aborted: {e}")
-            self.progress("reconstruction", 1.0)
-            return self.to_scene()
+        if self.n_registered >= 2:
+            # EXISTING_POSES resume (seed_from_scene): skip the two-view
+            # bootstrap and go straight to registering remaining views.
+            pass
+        else:
+            try:
+                key = self.bootstrap(key)
+            except RuntimeError as e:
+                # Graceful degradation (the reference crash-exits via
+                # ensure(), common.h:13-23): an unreconstructable input
+                # produces an empty scene + log entry, and the service
+                # reports it as a stage error.
+                self.log.append(f"reconstruction aborted: {e}")
+                self.progress("reconstruction", 1.0)
+                return self.to_scene()
         self.triangulate_new()
         self.run_ba(cfg.step_ba_iters)
         self.wash_outliers()
