@@ -115,6 +115,81 @@ def _ba_500_iters_per_s(small: bool) -> float:
     return n_it / dt
 
 
+def _dense_fps(scene, images, small: bool) -> dict | None:
+    """Dense stage benchmark (BASELINE config 4 scaled to the bench scene):
+    PatchMatch-refined plane-sweep depth maps + consistency + fusion over
+    the registered bench views."""
+    import time as _time
+
+    import jax
+    import numpy as np
+    from tpusfm.dense import depth as dense_depth
+
+    reg = int(np.asarray(scene.cam_mask).sum())
+    if reg < 3:
+        return None
+    cfg = dense_depth.DenseConfig(n_planes=32 if small else 64,
+                                  n_sources=3, view_batch=2)
+    # warmup (compile)
+    pts, _ = dense_depth.dense_reconstruct(scene, images, None, cfg=cfg)
+    t0 = _time.time()
+    pts, _ = dense_depth.dense_reconstruct(scene, images, None, cfg=cfg)
+    dt = _time.time() - t0
+    return {"views": reg, "seconds": round(dt, 2),
+            "views_per_s": round(reg / dt, 3), "points": int(len(pts)),
+            "patchmatch": True}
+
+
+def _mesh_overhead() -> dict | None:
+    """devices=8 vs single-device run_sparse on a virtual CPU mesh, in a
+    subprocess (the bench process owns the TPU backend).  NOTE: virtual
+    devices share one host's cores, so this measures the mesh path's
+    COMM/ORCHESTRATION OVERHEAD (t8/t1), not real multi-chip scaling —
+    real scaling needs N physical chips (BASELINE.md north star)."""
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+import dataclasses, json, time
+from tpusfm.utils import compile_cache
+compile_cache.enable()
+from tpusfm.pipeline.config import config_from_overrides
+from tpusfm.pipeline.sparse import run_sparse
+from tpusfm.utils.synth_render import render_orbit_images
+cfg = config_from_overrides(**{
+    "sift.n_octaves": 3, "sift.max_per_octave": 512, "sift.max_features": 768,
+    "matching.pair_chunk": 4, "filter.max_iterations": 128, "feature_batch": 3})
+images, gt = render_orbit_images(n_views=6, img_h=240, img_w=320,
+                                 focal=0.9 * 320, arc_deg=60.0, seed=1)
+out = {}
+for ndev in (1, 8):
+    c = dataclasses.replace(cfg, devices=ndev)
+    run_sparse(images, gt["intr"], c)  # warm
+    t0 = time.time()
+    _, rep = run_sparse(images, gt["intr"], c)
+    out[str(ndev)] = {"seconds": round(time.time() - t0, 2),
+                      "registered": rep["n_registered"]}
+print(json.dumps(out))
+"""
+    try:
+        r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=1200,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        d = json.loads(r.stdout.strip().splitlines()[-1])
+        t1, t8 = d["1"]["seconds"], d["8"]["seconds"]
+        return {"t_1dev_s": t1, "t_8dev_s": t8,
+                "overhead_factor": round(t8 / max(t1, 1e-9), 3),
+                "registered": (d["1"]["registered"], d["8"]["registered"]),
+                "note": "virtual 8-device CPU mesh shares one host: this is "
+                        "mesh-path overhead, not physical scaling"}
+    except Exception as e:
+        log(f"mesh overhead bench failed: {e}")
+        return None
+
+
 def main():
     from tpusfm.utils import compile_cache
 
@@ -200,6 +275,25 @@ def main():
         except Exception as e:
             log(f"BA secondary metric failed: {type(e).__name__}: {e}")
 
+    # Dense stage (BASELINE config 4 scaled to the bench scene).
+    dense_stats = None
+    if os.environ.get("BENCH_SKIP_DENSE") != "1":
+        try:
+            scene2, _ = run_sparse(images, gt["intr"], cfg,
+                                   key=jax.random.PRNGKey(1))
+            dense_stats = _dense_fps(scene2, images, small)
+            log(f"dense: {dense_stats}")
+            del scene2
+            gc.collect()
+        except Exception as e:
+            log(f"dense metric failed: {type(e).__name__}: {e}")
+
+    # Mesh-mode overhead on the virtual 8-device CPU mesh (subprocess).
+    mesh_stats = None
+    if os.environ.get("BENCH_SKIP_MESH") != "1":
+        mesh_stats = _mesh_overhead()
+        log(f"mesh overhead: {mesh_stats}")
+
     print(json.dumps({
         "metric": "sparse_sfm_frames_per_s",
         "value": round(fps, 3),
@@ -213,6 +307,8 @@ def main():
             "ba_lm_iters_per_s": None if ba_its is None else round(ba_its, 2),
             "baseline_fps_measured": base_fps,
             "baseline_times_s": baseline.get("times_s"),
+            "dense": dense_stats,
+            "mesh_8dev": mesh_stats,
         },
     }))
 

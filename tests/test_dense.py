@@ -109,3 +109,39 @@ def test_consistency_filter_kills_bad_depth(rendered):
     ))
     assert frac_gt > 0.3  # background/occluded pixels legitimately fail
     assert valid2[2].mean() < 0.05 * frac_gt
+
+
+def test_mixed_intrinsics_dense(rendered):
+    """Per-view K parity (DenseBuilder.h:67-84): views from two cameras
+    with DIFFERENT focals reconstruct correct depths — the sweep, the
+    consistency filter, and fusion must all use each view's own K."""
+    fA, fB = 0.8 * 240, 0.6 * 240
+    imgsA, gtA = render_orbit_images(
+        n_views=6, img_h=180, img_w=240, focal=fA, arc_deg=50.0, seed=2)
+    imgsB, gtB = render_orbit_images(
+        n_views=6, img_h=180, img_w=240, focal=fB, arc_deg=50.0, seed=2)
+    # Interleave: even views from camera A, odd from camera B — same world
+    # scene (same seed), different intrinsics per view.
+    images = np.where(np.arange(6)[:, None, None] % 2 == 0, imgsA, imgsB)
+    sc = gt_scene(gtA, 6, (180, 240))
+    intr = np.asarray(sc.intr).copy()
+    intr[1::2, 0] = intr[1::2, 1] = fB
+    # Rebuild the sparse obs for the B views at their focal (depth range).
+    sc = sc.replace(intr=jnp.asarray(intr))
+    cfg = dense_depth.DenseConfig(n_planes=32, n_sources=3, patchmatch=False)
+    pts, _c, maps = dense_depth.dense_reconstruct(
+        sc, images, None, cfg=cfg, return_maps=True)
+    assert maps["K"].shape == (6, 3, 3)
+    assert maps["K"][0, 0, 0] == pytest.approx(fA)
+    assert maps["K"][1, 0, 0] == pytest.approx(fB)
+    # Depth accuracy per group vs each camera's own ground truth.
+    for v in (0, 1, 2, 3):
+        gt_d = (gtA if v % 2 == 0 else gtB)["depth"][v]
+        d = maps["depths"][v]
+        ok = maps["valid"][v] & (gt_d > 0) & np.isfinite(gt_d)
+        if ok.sum() < 500:
+            continue
+        rel = np.abs(d[ok] - gt_d[ok]) / gt_d[ok]
+        assert np.median(rel) < 0.05, (v, float(np.median(rel)))
+    # Both groups contributed points.
+    assert (maps["depths"][0] > 0).any() and (maps["depths"][1] > 0).any()

@@ -99,14 +99,14 @@ def pairs_from_ring_table(idx, ok, min_matches: int = 1):
     idx = np.asarray(idx)
     ok = np.asarray(ok)
     V = idx.shape[0]
-    pl, mi, mv = [], [], []
-    for i in range(V):
-        for j in range(i + 1, V):
-            if ok[i, j].sum() >= min_matches:
-                pl.append((i, j))
-                mi.append(idx[i, j])
-                mv.append(ok[i, j])
-    if not pl:
+    # Vectorized upper-triangle selection (a Python double loop here is
+    # O(V^2) interpreter work — minutes at 1000 views).
+    iu, ju = np.triu_indices(V, 1)
+    keep = ok[iu, ju].sum(axis=-1) >= min_matches
+    iu, ju = iu[keep], ju[keep]
+    if len(iu) == 0:
         n = idx.shape[-1]
-        return np.zeros((0, 2), np.int32), np.zeros((0, n), np.int32), np.zeros((0, n), bool)
-    return (np.asarray(pl, np.int32), np.stack(mi), np.stack(mv))
+        return (np.zeros((0, 2), np.int32), np.zeros((0, n), np.int32),
+                np.zeros((0, n), bool))
+    pl = np.stack([iu, ju], axis=1).astype(np.int32)
+    return pl, idx[iu, ju], ok[iu, ju]

@@ -182,11 +182,8 @@ class GlobalEngine:
         cfg = self.cfg
         inc = self._inc
         iu = np.triu_indices(self.V, 1)
-        cand = [
-            (int(iu[0][k]), int(iu[1][k]))
-            for k in range(len(iu[0]))
-            if inc._pair_counts[iu[0][k], iu[1][k]] >= 8
-        ]
+        sel = inc._pair_counts[iu] >= 8
+        cand = list(zip(iu[0][sel].tolist(), iu[1][sel].tolist()))
         edges = []
         ch = cfg.pair_chunk
         for s in range(0, len(cand), ch):

@@ -274,6 +274,9 @@ class IncrementalEngine:
         self.points = np.zeros((self._T_cap, 3), np.float32)
         self.gauge_cam = 0
         self.n_registered = 0
+        # track -> feature-index scratch for _pair_correspondences (kept
+        # all -1 between calls).
+        self._track_feat_scratch = np.full(self._T_cap, -1, np.int64)
         self.barred = np.zeros(self.V, bool)  # views that failed registration
         self.log: list[str] = []
         cap = 64
@@ -299,18 +302,27 @@ class IncrementalEngine:
 
     def _pair_correspondences(self, i, j):
         """Matched keypoints between views i and j via shared tracks.
-        Returns (uv_i, uv_j, track_ids) as numpy arrays."""
+        Returns (uv_i, uv_j, track_ids) as numpy arrays.
+
+        Vectorized track join (a per-feature Python dict here is O(V^2 N)
+        interpreter time across the global engine's pair sweep): invert
+        view i's track row into a preallocated track->feature scratch,
+        then one fancy-index lookup for view j's features."""
         ti = self.track_ids[i]
         tj = self.track_ids[j]
-        # Map track -> feature index per view.
-        fi = {int(t): f for f, t in enumerate(ti) if t >= 0}
-        shared = []
-        for f, t in enumerate(tj):
-            if t >= 0 and int(t) in fi:
-                shared.append((fi[int(t)], f, int(t)))
-        if not shared:
-            return np.zeros((0, 2), np.float32), np.zeros((0, 2), np.float32), np.zeros(0, np.int32)
-        a, b, tr = map(np.asarray, zip(*shared))
+        inv = self._track_feat_scratch
+        vi = ti >= 0
+        inv[ti[vi]] = np.nonzero(vi)[0]
+        bj = np.nonzero(tj >= 0)[0]
+        fi = inv[tj[bj]]
+        sel = fi >= 0
+        inv[ti[vi]] = -1  # restore the scratch for the next call
+        if not sel.any():
+            return (np.zeros((0, 2), np.float32), np.zeros((0, 2), np.float32),
+                    np.zeros(0, np.int32))
+        b = bj[sel]
+        a = fi[sel]
+        tr = tj[b]
         return self.kp[i, a], self.kp[j, b], tr.astype(np.int32)
 
     def _obs_mask(self):
