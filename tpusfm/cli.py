@@ -30,6 +30,12 @@ def _add_cfg_args(p: argparse.ArgumentParser):
                    help="run the pipeline data-parallel over this many "
                         "devices (matching over pairs, BA over observations, "
                         "dense over view clusters); default single-device")
+    p.add_argument("--engine", default="incremental",
+                   choices=["incremental", "global", "stellar"],
+                   help="reconstruction engine (ESfMEngine parity)")
+    p.add_argument("--no-self-calibrate", action="store_true",
+                   help="disable RADIAL3 self-calibration (shared-group "
+                        "BA intrinsic refinement)")
 
 
 def _make_cfg(args):
@@ -42,6 +48,8 @@ def _make_cfg(args):
         matching=MatchingConfig(pair_mode=args.pair_mode),
         focal_prior_px=args.focal,
         devices=getattr(args, "devices", None),
+        engine_type=getattr(args, "engine", "incremental"),
+        self_calibrate=not getattr(args, "no_self_calibrate", False),
     )
 
 

@@ -158,6 +158,40 @@ def select_source_views(scene, ref: int, n: int) -> list[int]:
     return order[:n]
 
 
+def depth_ranges_all(scene, margin: float):
+    """Vectorized per-view depth search ranges from the sparse scene.
+    Returns (lo (V,), hi (V,), valid (V,)) — one pass over the obs table
+    instead of one scan per view (O(V * O) host time at pod scale)."""
+    from ..core import lie as _lie
+
+    obs_mask = np.asarray(scene.obs_mask)
+    ocam = np.asarray(scene.obs_cam)[obs_mask]
+    opt = np.asarray(scene.obs_pt)[obs_mask]
+    V = scene.intr.shape[0]
+    R = np.asarray(_lie.so3_exp(scene.cam_rot))
+    t = np.asarray(scene.cam_t)
+    pts = np.asarray(scene.points)[opt]
+    z = np.einsum("oj,oj->o", R[ocam][:, 2, :], pts) + t[ocam][:, 2]
+    keep = z > 1e-3
+    ocam, z = ocam[keep], z[keep]
+    lo = np.zeros(V)
+    hi = np.zeros(V)
+    valid = np.zeros(V, bool)
+    order = np.argsort(ocam, kind="stable")
+    ocam_s, z_s = ocam[order], z[order]
+    uniq, starts, counts = np.unique(ocam_s, return_index=True,
+                                     return_counts=True)
+    for v, s, c in zip(uniq, starts, counts):  # O(V) small python, O(O) numpy
+        if c < 5:
+            continue
+        zl, zh = np.percentile(z_s[s:s + c], [2, 98])
+        span = zh - zl
+        lo[v] = max(zl - margin * span, 0.05 * zl)
+        hi[v] = zh + margin * span
+        valid[v] = True
+    return lo, hi, valid
+
+
 def depth_range_from_sparse(scene, view: int, margin: float):
     """Depth search range for a view from its sparse observations."""
     mask = np.asarray(scene.obs_mask) & (np.asarray(scene.obs_cam) == view)
@@ -258,17 +292,19 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
         jax.jit(jax.vmap(partial(local_normalize, w=cfg.window)))(jnp.asarray(images))
     )
 
-    # Eligibility: enough sources and a usable sparse depth range.
+    # Eligibility: enough sources and a usable sparse depth range (one
+    # vectorized pass over the obs table for all views).
+    lo_all, hi_all, rng_ok = depth_ranges_all(scene, cfg.depth_margin)
     computed = [
         v for v in views
-        if len(select_source_views(scene, v, cfg.n_sources)) >= 2
-        and depth_range_from_sparse(scene, v, cfg.depth_margin) is not None
+        if rng_ok[v] and len(select_source_views(scene, v, cfg.n_sources)) >= 2
     ]
     depths = np.zeros((V, H, W), np.float32)
     costs = np.full((V, H, W), 2.0, np.float32)
     if computed:
         src_idx, R_rel, t_rel, inv_d, inv_lo, inv_hi = \
-            dist_dense.pack_sweep_inputs(scene, computed, cfg, cfg.n_planes)
+            dist_dense.pack_sweep_inputs(scene, computed, cfg, cfg.n_planes,
+                                         ranges=(lo_all, hi_all, rng_ok))
         n_dev = mesh.shape["shard"] if mesh is not None else 1
         B = max(cfg.view_batch, 1) * n_dev
         norm_j = jnp.asarray(norm_images)

@@ -115,11 +115,14 @@ def patchmatch_sharded(mesh: Mesh, images_raw, Ks, src_idx, R_rel, t_rel,
                          inv_lo, inv_hi, keys)
 
 
-def pack_sweep_inputs(scene, views, cfg: depth_mod.DenseConfig, n_planes: int):
+def pack_sweep_inputs(scene, views, cfg: depth_mod.DenseConfig, n_planes: int,
+                      ranges=None):
     """Host-side packing of per-view sweep inputs for the packed/sharded
     paths.  Returns (src_idx (V, S+1) with the ref id in the last slot,
     R_rel, t_rel, inv_depths (V, D), inv_lo (V,), inv_hi (V,)) as numpy
-    arrays over the given views."""
+    arrays over the given views.  ranges: optional precomputed
+    (lo (V,), hi (V,), valid (V,)) from depth_ranges_all — avoids one
+    obs-table scan per view."""
     import numpy as np
 
     from ..core import lie
@@ -137,8 +140,12 @@ def pack_sweep_inputs(scene, views, cfg: depth_mod.DenseConfig, n_planes: int):
         srcs = depth_mod.select_source_views(scene, v, S)
         while len(srcs) < S:
             srcs.append(srcs[-1] if srcs else v)
-        rng = depth_mod.depth_range_from_sparse(scene, v, cfg.depth_margin)
-        lo, hi = rng if rng else (1.0, 10.0)
+        if ranges is not None:
+            lo_a, hi_a, ok_a = ranges
+            lo, hi = (lo_a[v], hi_a[v]) if ok_a[v] else (1.0, 10.0)
+        else:
+            rng = depth_mod.depth_range_from_sparse(scene, v, cfg.depth_margin)
+            lo, hi = rng if rng else (1.0, 10.0)
         out_idx[k, :S] = srcs
         out_idx[k, S] = v
         R_rel = np.einsum("sij,kj->sik", R_all[srcs], R_all[v])
