@@ -119,25 +119,30 @@ def _dense_fps(scene, images, small: bool) -> dict | None:
     """Dense stage benchmark (BASELINE config 4 scaled to the bench scene):
     PatchMatch-refined plane-sweep depth maps + consistency + fusion over
     the registered bench views."""
+    import dataclasses as _dc
     import time as _time
 
-    import jax
     import numpy as np
     from tpusfm.dense import depth as dense_depth
+    from tpusfm.dense.patchmatch import PatchMatchConfig
 
-    reg = int(np.asarray(scene.cam_mask).sum())
-    if reg < 3:
+    reg_views = [int(v) for v in np.nonzero(np.asarray(scene.cam_mask))[0]]
+    if len(reg_views) < 3:
         return None
+    views = reg_views[:6]  # bound the bench cost; per-view rate generalizes
     cfg = dense_depth.DenseConfig(n_planes=32 if small else 64,
-                                  n_sources=3, view_batch=2)
+                                  n_sources=3, view_batch=2,
+                                  pm=PatchMatchConfig(n_iters=2))
     # warmup (compile)
-    pts, _ = dense_depth.dense_reconstruct(scene, images, None, cfg=cfg)
+    pts, _ = dense_depth.dense_reconstruct(scene, images, None, cfg=cfg,
+                                           views=views)
     t0 = _time.time()
-    pts, _ = dense_depth.dense_reconstruct(scene, images, None, cfg=cfg)
+    pts, _ = dense_depth.dense_reconstruct(scene, images, None, cfg=cfg,
+                                           views=views)
     dt = _time.time() - t0
-    return {"views": reg, "seconds": round(dt, 2),
-            "views_per_s": round(reg / dt, 3), "points": int(len(pts)),
-            "patchmatch": True}
+    return {"views": len(views), "seconds": round(dt, 2),
+            "views_per_s": round(len(views) / dt, 3), "points": int(len(pts)),
+            "patchmatch": True, "pm_iters": 2}
 
 
 def _mesh_overhead() -> dict | None:
