@@ -118,6 +118,16 @@ class BAConfig:
     pallas_gathers: bool = False   # route the per-obs table gathers through
                                    # the one-hot / windowed pallas kernels
                                    # instead of XLA row gathers
+    fused_linearize: bool = True   # pallas path: compute residuals, closed-
+                                   # form RADIAL3 Jacobians and ALL per-obs
+                                   # normal-equation products in ONE kernel
+                                   # pass over the obs table (ops/obs_table.py
+                                   # linearize_radial3) instead of the XLA
+                                   # jacfwd+einsum assembly whose (O, 2, 6)
+                                   # intermediates tile-pad 10-20x (PERF.md
+                                   # lever #1).  Auto-disabled when the
+                                   # camera/group tables exceed the kernel's
+                                   # VMEM budget (> 2048 rows)
     # Direct dense-Schur solve for small reduced systems: when the reduced
     # system is at most this many scalars wide (C*6 + refined G*7), assemble
     # S densely and solve by Cholesky instead of running PCG.  A 20-camera
@@ -485,6 +495,9 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
     obs_uv = obs_uv[order]
     obs_w = obs_w[order]
     rank_scatter_ids = jnp.where(rank_valid, rank_to_pt, P)
+    safe_r2p = jnp.minimum(rank_to_pt, P - 1)
+    # Fused linearization kernel holds the camera/group tables in VMEM.
+    fused = cfg.fused_linearize and C <= 2048 and G <= 2048
 
     def _gather(table, idx):
         n = table.shape[0]
@@ -526,57 +539,88 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
 
     def lm_step(carry):
         ps, gi, pts, lam, cost, done, it = carry
-        pose_o = _gather(ps, obs_cam)
-        intr_o = _gather(gi, obs_grp)
-        X_o = _gather_pts(pts)
-        r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, obs_uv, refine)
-        w = (_huber_weight(r, cfg.huber_delta) * obs_w)[:, None]
-        r = r * w
-        Jc = Jc * w[..., None]
-        Jp = Jp * w[..., None]
-        if refine:
-            Jg = Jg * (w[..., None] * refine_m[None, None, :])
-        # Camera side: one fused (O, D*D + D [+ D*E]) reduction.
-        camvals = [
-            jnp.einsum("oki,okj->oij", Jc, Jc).reshape(-1, D * D),
-            jnp.einsum("oki,ok->oi", Jc, r),
-        ]
-        if refine:
-            camvals.append(jnp.einsum("oki,okj->oij", Jc, Jg).reshape(-1, D * E))
-        camred = cam_reduce(jnp.concatenate(camvals, axis=-1))
-        Hcc = camred[:, : D * D].reshape(C, D, D)
-        gc = camred[:, D * D: D * D + D]
-        Hcg = (camred[:, D * D + D:].reshape(C, D, E) if refine else None)
-        # Group side: one fused (O, E*E + E) reduction.
-        if refine:
-            grpvals = jnp.concatenate([
-                jnp.einsum("oki,okj->oij", Jg, Jg).reshape(-1, E * E),
-                jnp.einsum("oki,ok->oi", Jg, r),
+        if fused:
+            # One pallas pass over the obs table produces the fused value
+            # tables (Jacobians computed in closed form in-kernel; PERF.md
+            # lever #1) — only the segment reductions remain.
+            R = lie.so3_exp(ps[:, :3])
+            Jr = lie.so3_right_jacobian(ps[:, :3])
+            camtab = jnp.concatenate(
+                [ps[:, 3:6], R.reshape(C, 9), Jr.reshape(C, 9)], axis=1)
+            pts_rank = jnp.where(rank_valid[:, None], pts[safe_r2p], 0.0)
+            outs = ot.linearize_radial3(
+                camtab, gi, pts_rank, obs_cam, obs_grp, ranks, obs_uv, obs_w,
+                refine=refine, refine_mask=cfg.refine_mask(),
+                huber_delta=cfg.huber_delta, interpret=itp)
+            if refine:
+                camvals_t, ptvals_t, Wc_flat, grpvals_t, Wg_flat = outs
+            else:
+                camvals_t, ptvals_t, Wc_flat = outs
+                Wg_flat = None
+            camred = cam_reduce(camvals_t)
+            Hcc = camred[:, : D * D].reshape(C, D, D)
+            gc = camred[:, D * D: D * D + D]
+            Hcg = (camred[:, D * D + D:].reshape(C, D, E) if refine else None)
+            if refine:
+                grpred = grp_reduce(grpvals_t)
+                Hgg = grpred[:, : E * E].reshape(G, E, E)
+                gg = grpred[:, E * E:]
+            ptred = pt_reduce(ptvals_t)
+            Hpp = ptred[:, :9].reshape(P, 3, 3)
+            gp = ptred[:, 9:]
+            Wc3 = Wc_flat.reshape(-1, D, 3)
+            Wg3 = Wg_flat.reshape(-1, E, 3) if refine else None
+        else:
+            pose_o = _gather(ps, obs_cam)
+            intr_o = _gather(gi, obs_grp)
+            X_o = _gather_pts(pts)
+            r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, obs_uv, refine)
+            w = (_huber_weight(r, cfg.huber_delta) * obs_w)[:, None]
+            r = r * w
+            Jc = Jc * w[..., None]
+            Jp = Jp * w[..., None]
+            if refine:
+                Jg = Jg * (w[..., None] * refine_m[None, None, :])
+            # Camera side: one fused (O, D*D + D [+ D*E]) reduction.
+            camvals = [
+                jnp.einsum("oki,okj->oij", Jc, Jc).reshape(-1, D * D),
+                jnp.einsum("oki,ok->oi", Jc, r),
+            ]
+            if refine:
+                camvals.append(jnp.einsum("oki,okj->oij", Jc, Jg).reshape(-1, D * E))
+            camred = cam_reduce(jnp.concatenate(camvals, axis=-1))
+            Hcc = camred[:, : D * D].reshape(C, D, D)
+            gc = camred[:, D * D: D * D + D]
+            Hcg = (camred[:, D * D + D:].reshape(C, D, E) if refine else None)
+            # Group side: one fused (O, E*E + E) reduction.
+            if refine:
+                grpvals = jnp.concatenate([
+                    jnp.einsum("oki,okj->oij", Jg, Jg).reshape(-1, E * E),
+                    jnp.einsum("oki,ok->oi", Jg, r),
+                ], axis=-1)
+                grpred = grp_reduce(grpvals)
+                Hgg = grpred[:, : E * E].reshape(G, E, E)
+                gg = grpred[:, E * E:]
+            # Point side: one fused (O, 12) reduction.
+            ptvals = jnp.concatenate([
+                jnp.einsum("oki,okj->oij", Jp, Jp).reshape(-1, 9),
+                jnp.einsum("oki,ok->oi", Jp, r),
             ], axis=-1)
-            grpred = grp_reduce(grpvals)
-            Hgg = grpred[:, : E * E].reshape(G, E, E)
-            gg = grpred[:, E * E:]
-        # Point side: one fused (O, 12) reduction.
-        ptvals = jnp.concatenate([
-            jnp.einsum("oki,okj->oij", Jp, Jp).reshape(-1, 9),
-            jnp.einsum("oki,ok->oi", Jp, r),
-        ], axis=-1)
-        ptred = pt_reduce(ptvals)
-        Hpp = ptred[:, :9].reshape(P, 3, 3)
-        gp = ptred[:, 9:]
-        Wc3 = jnp.einsum("oki,okj->oij", Jc, Jp)  # (O, D, 3), point-sorted
-        Wg3 = jnp.einsum("oki,okj->oij", Jg, Jp) if refine else None
+            ptred = pt_reduce(ptvals)
+            Hpp = ptred[:, :9].reshape(P, 3, 3)
+            gp = ptred[:, 9:]
+            Wc3 = jnp.einsum("oki,okj->oij", Jc, Jp)  # (O, D, 3), point-sorted
+            Wg3 = jnp.einsum("oki,okj->oij", Jg, Jp) if refine else None
+            # Flattened coupling tables for the fused Schur kernels.
+            Wc_flat = Wc3.reshape(-1, D * 3)
+            Wg_flat = Wg3.reshape(-1, E * 3) if refine else None
 
         Hcc_d = _damp_blocks(Hcc, lam)
         Hpp_inv = _inv3(_damp_blocks(Hpp, lam))
         Hgg_d = _damp_blocks(Hgg, lam) if refine else None
 
-        # Flattened coupling tables + rank-space helpers for the fused
-        # Schur kernels (ops/obs_table.py schur_fwd/schur_bwd: ONE pass
-        # over W per matvec direction instead of gather+einsum+segsum).
-        Wc_flat = Wc3.reshape(-1, D * 3)
-        Wg_flat = Wg3.reshape(-1, E * 3) if refine else None
-        safe_r2p = jnp.minimum(rank_to_pt, P - 1)
+        # Rank-space helpers for the fused Schur kernels (ops/obs_table.py
+        # schur_fwd/schur_bwd: ONE pass over W per matvec direction).
         Hinv_rank = jnp.where(rank_valid[:, None, None],
                               Hpp_inv[safe_r2p], 0.0)
 

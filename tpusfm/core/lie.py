@@ -87,6 +87,26 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
+def so3_right_jacobian(w: jnp.ndarray) -> jnp.ndarray:
+    """Right Jacobian of SO(3) at axis-angle w: (..., 3) -> (..., 3, 3).
+
+    Jr(w) = I - (1-cos t)/t^2 [w]x + (t - sin t)/t^3 [w]x^2, with Taylor
+    fallbacks below sqrt(eps).  Satisfies R(w + dw) ~= R(w) Exp(Jr(w) dw),
+    i.e. d(R(w) p)/dw = -R(w) [p]x Jr(w) — the closed-form pose Jacobian
+    used by the fused BA linearization kernel (ops/obs_table.py)."""
+    theta2 = jnp.sum(w * w, axis=-1)
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta_safe = jnp.sqrt(theta2_safe)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta_safe)) / theta2_safe)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta_safe - jnp.sin(theta_safe)) / (theta2_safe * theta_safe))
+    W = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
+    return eye - b[..., None, None] * W + c[..., None, None] * (W @ W)
+
+
 def rotate_aa(aa: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Rotate points by an axis-angle vector without forming the matrix.
 

@@ -277,6 +277,274 @@ def segsum_sorted(vals: jnp.ndarray, idx_sorted: jnp.ndarray, p: int,
 
 
 # ---------------------------------------------------------------------------
+# Fused BA linearization kernel
+# ---------------------------------------------------------------------------
+#
+# One pass over the observation table computes EVERYTHING the LM step needs
+# from the current parameters: closed-form RADIAL3 reprojection Jacobians
+# (pose 6, shared-intrinsics 7, point 3), Huber-weighted residuals, and all
+# per-observation normal-equation products, emitted as fused value tables:
+#
+#   camvals (O, 42|84) = [Hcc 36 | gc 6 | Hcg 42]   -> segsum_table by camera
+#   ptvals  (O, 12)    = [Hpp 9 | gp 3]             -> segsum_sorted by rank
+#   wc      (O, 18)    = Jc^T Jp row-major          -> Schur coupling table
+#   grpvals (O, 56)    = [Hgg 49 | gg 7]            -> segsum_table by group
+#   wg      (O, 21)    = Jg^T Jp row-major
+#
+# This replaces the XLA assembly pass (vmapped jacfwd + einsums), whose
+# (O, 2, 6)-shaped intermediates pad to (8, 128) tiles — a 10-20x HBM blowup
+# that dominated the measured LM fixed cost (PERF.md "next levers" #1).  All
+# math here is (B, 1..7)-lane VPU ops; the only HBM traffic is the obs rows
+# in and the fused value tables out.
+#
+# The pose Jacobian uses d(R(aa) X)/daa = -R [X]x Jr(aa) (right Jacobian;
+# core/lie.py so3_right_jacobian), with R and Jr precomputed PER CAMERA on
+# the host side and gathered in-kernel by one-hot matmul — the per-obs work
+# is 9 scalar*vector products instead of a full Rodrigues differentiation.
+#
+# Reference counterpart: Ceres' autodiff ReprojectCost evaluation
+# (src/adjuster/BundleAdjuster.h:40-68) walked per-residual on CPU.
+
+LIN_CAM_DIM = 21   # per-camera row: [t (3) | R row-major (9) | Jr row-major (9)]
+
+
+def _recip_f32(v):
+    """Full-f32 reciprocal inside a pallas body.  Mosaic lowers f32 division
+    to the VPU's ~12-bit reciprocal approximation; two Newton steps
+    (quadratic convergence) restore full f32 accuracy — without this the
+    projection x = Xc/z carries ~1e-4 relative error, which is 0.1 px at
+    f=1000 and wrecks the Gauss-Newton step quality."""
+    r = 1.0 / v
+    r = r * (2.0 - v * r)
+    return r * (2.0 - v * r)
+
+
+def _sqrt_f32(v):
+    """Full-f32 sqrt via rsqrt + one Newton step (same Mosaic caveat)."""
+    r = jax.lax.rsqrt(jnp.maximum(v, 1e-30))
+    r = r * (1.5 - 0.5 * v * r * r)
+    return v * r
+
+
+def _linearize_kernel(refine, huber_delta, refine_mask, eps,
+                      wstart_ref, ranks_ref, cam_ref, grp_ref, uv_ref, w_ref,
+                      camtab_ref, grptab_ref, pts0_ref, pts1_ref,
+                      *out_refs):
+    if refine:
+        camvals_ref, ptvals_ref, wc_ref, grpvals_ref, wg_ref = out_refs
+    else:
+        camvals_ref, ptvals_ref, wc_ref = out_refs
+    b = pl.program_id(0)
+    nB = ranks_ref.shape[0]
+    Cp = camtab_ref.shape[0]
+    Gp = grptab_ref.shape[0]
+
+    # --- gathers (one-hot MXU matmuls; exact via the hi/mid/lo 3-split) ---
+    rk = ranks_ref[:]                       # (B, 1) dense sorted point ranks
+    base = wstart_ref[b] * nB
+    loc = rk - base
+    colsB = jax.lax.broadcasted_iota(jnp.int32, (nB, nB), 1)
+    # pts1_ref is the SAME table shifted down by one block (built by the
+    # wrapper), so both window halves index at ws[b] — passing one array
+    # through two in_specs with different index maps is not supported.
+    X = (_oh_dot((colsB == loc).astype(jnp.bfloat16), pts0_ref[:], 1)
+         + _oh_dot((colsB == loc - nB).astype(jnp.bfloat16), pts1_ref[:], 1))
+    colsC = jax.lax.broadcasted_iota(jnp.int32, (nB, Cp), 1)
+    camg = _oh_dot((colsC == cam_ref[:]).astype(jnp.bfloat16), camtab_ref[:], 1)
+    colsG = jax.lax.broadcasted_iota(jnp.int32, (nB, Gp), 1)
+    intg = _oh_dot((colsG == grp_ref[:]).astype(jnp.bfloat16), grptab_ref[:], 1)
+
+    # --- projection (matches core/camera.py camera_to_pixel exactly) ---
+    Rr0, Rr1, Rr2 = camg[:, 3:6], camg[:, 6:9], camg[:, 9:12]
+
+    def dot3(p, q):
+        return jnp.sum(p * q, axis=1, keepdims=True)
+
+    Xc1 = dot3(Rr0, X) + camg[:, 0:1]
+    Xc2 = dot3(Rr1, X) + camg[:, 1:2]
+    z = dot3(Rr2, X) + camg[:, 2:3]
+    zs = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+    iz = _recip_f32(zs)
+    x = Xc1 * iz
+    y = Xc2 * iz
+    r2 = x * x + y * y
+    fx, fy = intg[:, 0:1], intg[:, 1:2]
+    k1, k2, k3 = intg[:, 4:5], intg[:, 5:6], intg[:, 6:7]
+    dist = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    de = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)        # d dist / d r2
+    ru = fx * x * dist + intg[:, 2:3] - uv_ref[:, 0:1]
+    rv = fy * y * dist + intg[:, 3:4] - uv_ref[:, 1:2]
+
+    # --- Huber IRLS weight ---
+    nrm = _sqrt_f32(ru * ru + rv * rv)
+    w = _sqrt_f32(jnp.minimum(
+        1.0, huber_delta * _recip_f32(jnp.maximum(nrm, 1e-12))))
+    w = w * w_ref[:]
+
+    # --- residual Jacobians ---
+    # d(u,v)/d(x,y) then chain through d(x,y)/dXc = [[iz,0,-x iz],[0,iz,-y iz]]
+    au = fx * (dist + 2.0 * x * x * de)
+    bu = 2.0 * fx * x * y * de
+    cv = 2.0 * fy * x * y * de
+    dv = fy * (dist + 2.0 * y * y * de)
+    Lu = jnp.concatenate([au * iz, bu * iz, -(au * x + bu * y) * iz], axis=1)
+    Lv = jnp.concatenate([cv * iz, dv * iz, -(cv * x + dv * y) * iz], axis=1)
+
+    # columns of R (for A = R [X]x and Jp = L R)
+    Rc0 = jnp.concatenate([camg[:, 3:4], camg[:, 6:7], camg[:, 9:10]], axis=1)
+    Rc1 = jnp.concatenate([camg[:, 4:5], camg[:, 7:8], camg[:, 10:11]], axis=1)
+    Rc2 = jnp.concatenate([camg[:, 5:6], camg[:, 8:9], camg[:, 11:12]], axis=1)
+    X1, X2, X3 = X[:, 0:1], X[:, 1:2], X[:, 2:3]
+    a1 = X3 * Rc1 - X2 * Rc2
+    a2 = X1 * Rc2 - X3 * Rc0
+    a3 = X2 * Rc0 - X1 * Rc1
+    # N = dXc/daa = -(R [X]x) Jr; Jr row-major in camg lanes 12..20
+    N0 = -(camg[:, 12:13] * a1 + camg[:, 15:16] * a2 + camg[:, 18:19] * a3)
+    N1 = -(camg[:, 13:14] * a1 + camg[:, 16:17] * a2 + camg[:, 19:20] * a3)
+    N2 = -(camg[:, 14:15] * a1 + camg[:, 17:18] * a2 + camg[:, 20:21] * a3)
+
+    Jc_u = jnp.concatenate([dot3(Lu, N0), dot3(Lu, N1), dot3(Lu, N2), Lu], axis=1)
+    Jc_v = jnp.concatenate([dot3(Lv, N0), dot3(Lv, N1), dot3(Lv, N2), Lv], axis=1)
+    Jp_u = jnp.concatenate([dot3(Lu, Rc0), dot3(Lu, Rc1), dot3(Lu, Rc2)], axis=1)
+    Jp_v = jnp.concatenate([dot3(Lv, Rc0), dot3(Lv, Rc1), dot3(Lv, Rc2)], axis=1)
+
+    ru, rv = ru * w, rv * w
+    Jc_u, Jc_v = Jc_u * w, Jc_v * w
+    Jp_u, Jp_v = Jp_u * w, Jp_v * w
+    if refine:
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        r4 = r2 * r2
+        r6 = r4 * r2
+        # refine_mask entries are STATIC 0/1 floats — fold them into each
+        # column (a captured jnp constant is not allowed in a pallas body).
+        m = [float(v) for v in refine_mask]
+        Jg_u = jnp.concatenate(
+            [x * dist * m[0], zero, one * m[2], zero,
+             fx * x * r2 * m[4], fx * x * r4 * m[5], fx * x * r6 * m[6]],
+            axis=1)
+        Jg_v = jnp.concatenate(
+            [zero, y * dist * m[1], zero, one * m[3],
+             fy * y * r2 * m[4], fy * y * r4 * m[5], fy * y * r6 * m[6]],
+            axis=1)
+        Jg_u = Jg_u * w
+        Jg_v = Jg_v * w
+
+    # --- fused per-obs normal-equation products ---
+    camvals = [Jc_u[:, i:i + 1] * Jc_u + Jc_v[:, i:i + 1] * Jc_v
+               for i in range(6)]                                  # Hcc 36
+    camvals.append(Jc_u * ru + Jc_v * rv)                          # gc 6
+    if refine:
+        camvals += [Jc_u[:, i:i + 1] * Jg_u + Jc_v[:, i:i + 1] * Jg_v
+                    for i in range(6)]                             # Hcg 42
+    camvals_ref[:] = jnp.concatenate(camvals, axis=1)
+
+    ptvals = [Jp_u[:, i:i + 1] * Jp_u + Jp_v[:, i:i + 1] * Jp_v
+              for i in range(3)]                                   # Hpp 9
+    ptvals.append(Jp_u * ru + Jp_v * rv)                           # gp 3
+    ptvals_ref[:] = jnp.concatenate(ptvals, axis=1)
+
+    wc_ref[:] = jnp.concatenate(
+        [Jc_u[:, i:i + 1] * Jp_u + Jc_v[:, i:i + 1] * Jp_v for i in range(6)],
+        axis=1)                                                    # W_c 18
+
+    if refine:
+        grpvals = [Jg_u[:, i:i + 1] * Jg_u + Jg_v[:, i:i + 1] * Jg_v
+                   for i in range(7)]                              # Hgg 49
+        grpvals.append(Jg_u * ru + Jg_v * rv)                      # gg 7
+        grpvals_ref[:] = jnp.concatenate(grpvals, axis=1)
+        wg_ref[:] = jnp.concatenate(
+            [Jg_u[:, i:i + 1] * Jp_u + Jg_v[:, i:i + 1] * Jp_v
+             for i in range(7)], axis=1)                           # W_g 21
+
+
+@partial(jax.jit, static_argnames=("refine", "refine_mask", "huber_delta",
+                                   "interpret"))
+def linearize_radial3(camtab: jnp.ndarray, grptab: jnp.ndarray,
+                      pts_rank: jnp.ndarray, obs_cam: jnp.ndarray,
+                      obs_grp: jnp.ndarray, ranks: jnp.ndarray,
+                      obs_uv: jnp.ndarray, obs_w: jnp.ndarray,
+                      refine: bool, refine_mask: tuple, huber_delta: float,
+                      interpret: bool = False):
+    """Fused BA linearization: one pallas pass over the (point-sorted)
+    observation table -> (camvals, ptvals, wc[, grpvals, wg]).
+
+    camtab (C, 21) f32 [t | R row-major | Jr row-major]; grptab (G, 7)
+    [fx,fy,cx,cy,k1,k2,k3]; pts_rank (P, 3) point table in RANK space;
+    ranks (O,) dense sorted point ranks (sort_and_rank); obs_w (O,) weights
+    (0 = masked).  Huber weights are folded in; every output entry carries
+    w^2, so masked/padded rows contribute exact zeros."""
+    o = ranks.shape[0]
+    c = camtab.shape[0]
+    g = grptab.shape[0]
+    p = pts_rank.shape[0]
+    o_p = _ceil_to(max(o, 1), B)
+    c_p = _ceil_to(max(c, 1), 8)
+    g_p = _ceil_to(max(g, 1), 8)
+    p_tab = _ceil_to(max(p, 1), B) + B
+    nb = o_p // B
+    ranks_p = _pad_rows(ranks.astype(jnp.int32).reshape(-1, 1), o_p,
+                        value=p_tab - B)
+    cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p, value=c_p)
+    grp_p = _pad_rows(obs_grp.astype(jnp.int32).reshape(-1, 1), o_p, value=g_p)
+    uv_p = _pad_rows(obs_uv.astype(jnp.float32), o_p)
+    w_p = _pad_rows(obs_w.astype(jnp.float32).reshape(-1, 1), o_p)
+    camtab_p = _pad_rows(camtab.astype(jnp.float32), c_p)
+    grptab_p = _pad_rows(grptab.astype(jnp.float32), g_p)
+    pts_p = _pad_rows(pts_rank.astype(jnp.float32), p_tab)
+    wstart = jnp.minimum(ranks_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
+
+    cam_w = 84 if refine else 42
+    out_shapes = [
+        jax.ShapeDtypeStruct((o_p, cam_w), jnp.float32),   # camvals
+        jax.ShapeDtypeStruct((o_p, 12), jnp.float32),      # ptvals
+        jax.ShapeDtypeStruct((o_p, 18), jnp.float32),      # wc
+    ]
+    out_specs = [
+        pl.BlockSpec((B, cam_w), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, 12), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, 18), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+    ]
+    if refine:
+        out_shapes += [
+            jax.ShapeDtypeStruct((o_p, 56), jnp.float32),  # grpvals
+            jax.ShapeDtypeStruct((o_p, 21), jnp.float32),  # wg
+        ]
+        out_specs += [
+            pl.BlockSpec((B, 56), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 21), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+        ]
+    outs = pl.pallas_call(
+        partial(_linearize_kernel, refine, float(huber_delta),
+                tuple(refine_mask), 1e-8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((B, 1), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 2), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((c_p, LIN_CAM_DIM), lambda b, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_p, 7), lambda b, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 3), lambda b, ws: (ws[b], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 3), lambda b, ws: (ws[b], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(wstart, ranks_p, cam_p, grp_p, uv_p, w_p, camtab_p, grptab_p,
+      pts_p, jnp.concatenate([pts_p[B:], jnp.zeros((B, 3), jnp.float32)]))
+    return tuple(out[:o] for out in outs)
+
+
+# ---------------------------------------------------------------------------
 # Rank compaction helper (XLA; used by the BA pallas path)
 # ---------------------------------------------------------------------------
 
