@@ -55,6 +55,12 @@ class DenseConfig:
     # Reference views per device dispatch on the packed/vmapped sweep path
     # (scaled by the mesh width when sharded).
     view_batch: int = 4
+    # Above this many pixels per view, PatchMatch dispatches ONE view per
+    # device: the vmapped PM program faulted the TPU worker at 2 views x
+    # 480x640 (BENCH_r02 dense=null) while 1 view at the same resolution is
+    # fine; per-view dispatch costs only host-loop overhead (~ms) against
+    # seconds of PM compute.
+    pm_batch_px: int = 200_000
 
 
 def _box_mean(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -330,15 +336,25 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
                     norm_j, Ks_j, *args, cfg=cfg)
             if cfg.patchmatch:
                 keys = jax.random.split(jax.random.fold_in(key, s), B)
-                pm_args = (args[0], args[1], args[2],
-                           1.0 / jnp.maximum(d, 1e-9),
-                           pad(inv_lo), pad(inv_hi), keys)
-                if mesh is not None:
-                    d, c = dist_dense.patchmatch_sharded(
-                        mesh, imgs_j, Ks_j, *pm_args, pm_cfg=cfg.pm)
-                else:
-                    d, c = dist_dense.patchmatch_all_views(
-                        imgs_j, Ks_j, *pm_args, pm_cfg=cfg.pm)
+                inv_init = 1.0 / jnp.maximum(d, 1e-9)
+                lo_p, hi_p = pad(inv_lo), pad(inv_hi)
+                # One view per device at high resolution (see pm_batch_px).
+                pm_B = B if H * W <= cfg.pm_batch_px else max(n_dev, 1)
+                d_parts, c_parts = [], []
+                for q in range(0, B, pm_B):
+                    qs = slice(q, q + pm_B)
+                    pm_args = (args[0][qs], args[1][qs], args[2][qs],
+                               inv_init[qs], lo_p[qs], hi_p[qs], keys[qs])
+                    if mesh is not None:
+                        dq, cq = dist_dense.patchmatch_sharded(
+                            mesh, imgs_j, Ks_j, *pm_args, pm_cfg=cfg.pm)
+                    else:
+                        dq, cq = dist_dense.patchmatch_all_views(
+                            imgs_j, Ks_j, *pm_args, pm_cfg=cfg.pm)
+                    d_parts.append(dq)
+                    c_parts.append(cq)
+                d = jnp.concatenate(d_parts)
+                c = jnp.concatenate(c_parts)
             d_np, c_np = np.asarray(d), np.asarray(c)
             for bi in range(n_sl):
                 v = computed[s + bi]

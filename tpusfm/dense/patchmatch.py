@@ -10,23 +10,37 @@ staircase/fattening bias on oblique surfaces.
 TPU-native formulation (SURVEY.md §7 hard part 6): PatchMatch's sequential
 spatial propagation becomes *checkerboard sweeps* — every pixel of one
 parity updates simultaneously from its 4 neighbors of the other parity, so
-each half-iteration is a fully regular, vectorizable array program:
+each half-iteration is a fully regular, vectorizable array program.
 
-  - state: per-pixel inverse depth + unit normal (a plane through the
-    backprojected point),
-  - candidates per step: self, the 4 neighbor planes re-intersected with
-    the pixel's own ray (true slanted propagation), depth/normal
-    perturbations with geometrically shrinking scale, and a random restart,
-  - cost: zero-mean NCC over a dilated sparse window, evaluated by
-    intersecting each window ray with the hypothesis plane and bilinearly
-    sampling the source views (best-k aggregation over sources, like the
-    plane sweep),
-  - update: masked argmin on the active parity.
+Performance design (round 3; round 2's version evaluated every candidate on
+the FULL pixel grid with 4-gather bilinear reference sampling and faulted
+the TPU worker when vmapped over 2 views at 480x640):
 
-Compile-friendliness: the window offsets, the candidate set, and the sweep
-sequence are all ``lax.scan`` loops, so the compiled graph contains ONE
-sample-and-accumulate block, ONE candidate-evaluation block, and ONE sweep
-block regardless of window size / candidate count / iteration count.
+  - **parity compaction**: each half-sweep gathers the active checkerboard
+    parity into dense (H, W/2) fields, evaluates candidates there, and
+    scatters the winners back — halving all sampling work and peak
+    residency per candidate evaluation,
+  - **hoisted reference statistics**: the NCC terms that depend only on the
+    reference window (mean, variance, per-offset values) are computed once
+    per half-sweep with static edge-clamped shifts (no gathers) instead of
+    once per candidate with bilinear gathers,
+  - **sparse diamond window**: the NCC window is a dilated diamond plus the
+    4 far corners (17 samples at radius 6 / dilation 3) instead of a full
+    square (25 at radius 4) — wider extent with fewer samples measurably
+    IMPROVES the recovered normals (corner samples have the largest slant
+    lever arm) while cutting sampling cost 32%,
+  - **unrolled offset loop**: the window loop is a static Python loop, so
+    the only remaining gathers per candidate are the unavoidable bilinear
+    source-texture samples.
+
+State per pixel: inverse depth + unit normal (a plane through the
+backprojected point).  Candidates per half-sweep: the 4 neighbor planes
+re-intersected with the pixel's own ray (true slanted propagation), a joint
+depth+normal perturbation with geometrically shrinking scale, a full-range
+random restart, and a normal-only perturbation.  Cost: zero-mean NCC over
+the window, best-k aggregated over source views, evaluated by intersecting
+each window ray with the hypothesis plane and bilinearly sampling the
+sources.
 """
 
 from __future__ import annotations
@@ -41,8 +55,9 @@ import jax.numpy as jnp
 @dataclasses.dataclass(frozen=True)
 class PatchMatchConfig:
     n_iters: int = 4            # full iterations (each = 2 parity sweeps)
-    window_radius: int = 4      # window half-extent in px
-    dilation: int = 2           # sample spacing inside the window
+    window_radius: int = 6      # window half-extent in px
+    dilation: int = 3           # sample spacing inside the window
+    window_pattern: str = "diamond"  # "diamond"+corners (sparse) or "square"
     best_k: int = 2             # best-k source aggregation (as plane sweep)
     perturb_depth: float = 0.20     # initial relative inv-depth perturbation
     perturb_normal_deg: float = 25.0
@@ -51,10 +66,33 @@ class PatchMatchConfig:
     min_sigma: float = 1e-3     # reject textureless NCC windows
 
 
-def _window_offsets(cfg: PatchMatchConfig) -> jnp.ndarray:
+def _window_offsets(cfg: PatchMatchConfig) -> list[tuple[int, int]]:
+    """Static window offset list (unrolled in the compiled program)."""
     r, d = cfg.window_radius, cfg.dilation
     steps = list(range(-r, r + 1, d))
-    return jnp.asarray([(dy, dx) for dy in steps for dx in steps], jnp.float32)
+    offs = [(dy, dx) for dy in steps for dx in steps]
+    if cfg.window_pattern == "diamond":
+        # Dilated diamond + the 4 far corners + a 1-px inner cross: the
+        # corners carry the largest lever arm for the slant (normal)
+        # estimate and the inner cross restores near-field depth
+        # sensitivity — measured 13.4 deg median normal error / 0.0026
+        # median relative depth error at 21 samples vs 15.3 deg / 0.0026
+        # for the full 25-sample square at radius 4
+        # (scripts/pm_window_ab.py).
+        offs = [(dy, dx) for dy, dx in offs if abs(dy) + abs(dx) <= r]
+        offs += [(-r, -r), (-r, r), (r, -r), (r, r)]
+        if d > 1:
+            offs += [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    return offs
+
+
+def _shift_edge(img, dy: int, dx: int):
+    """Static shift with edge clamp: out[y, x] = img[clip(y+dy), clip(x+dx)]."""
+    if dy == 0 and dx == 0:
+        return img
+    H, W = img.shape
+    p = jnp.pad(img, ((abs(dy), abs(dy)), (abs(dx), abs(dx))), mode="edge")
+    return jax.lax.dynamic_slice(p, (abs(dy) + dy, abs(dx) + dx), (H, W))
 
 
 def _bilinear(img, vv, uu):
@@ -71,79 +109,18 @@ def _bilinear(img, vv, uu):
     return a * (1 - fv) * (1 - fu) + b * (1 - fv) * fu + c * fv * (1 - fu) + e * fv * fu
 
 
-def _shift2d(img, dy: int, dx: int, fill=0.0):
-    """Static integer shift: out[y, x] = img[y+dy, x+dx], `fill` outside."""
-    H, W = img.shape
-    out = jnp.full_like(img, fill)
-    ys = slice(max(0, -dy), min(H, H - dy))
-    xs = slice(max(0, -dx), min(W, W - dx))
-    ysrc = slice(max(0, dy), min(H, H + dy))
-    xsrc = slice(max(0, dx), min(W, W + dx))
-    return out.at[ys, xs].set(img[ysrc, xsrc])
+def _parity_cols(H: int, Wh: int, phase) -> jnp.ndarray:
+    """(H, Wh) x-coordinates of the active checkerboard cells for `phase`:
+    row y holds active columns x with (x + y) % 2 == phase."""
+    off = (jnp.arange(H, dtype=jnp.int32)[:, None] + phase) % 2
+    return 2 * jnp.arange(Wh, dtype=jnp.int32)[None, :] + off
 
 
-def _plane_cost(n, c, ref_img, src_imgs, fx, fy, cx, cy, fxs, fys, cxs, cys,
-                R_rel, t_rel, offsets, cfg: PatchMatchConfig):
-    """NCC cost of the per-pixel plane field (n (H,W,3), c (H,W)) where the
-    plane at pixel p is {X : n_p . X = c_p} in the reference camera frame.
-    Returns cost (H, W) in [0, 2] (2 = invalid)."""
-    H, W = ref_img.shape
-    ys = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
-    xs = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
-    S = src_imgs.shape[0]
-    No = offsets.shape[0]
-
-    def accum(sums, off):
-        s_r, s_rr, s_s, s_ss, s_rs, oob = sums
-        dy, dx = off[0], off[1]
-        # Window ray at q = p + (dx, dy) — intersect with p's plane.
-        rqx = (xs + dx - cx) / fx
-        rqy = (ys + dy - cy) / fy
-        ndotr = n[..., 0] * rqx + n[..., 1] * rqy + n[..., 2]
-        safe = jnp.abs(ndotr) > cfg.min_ndotr
-        s = c / jnp.where(safe, ndotr, jnp.where(ndotr >= 0, cfg.min_ndotr, -cfg.min_ndotr))
-        # Reference sample: clamp-to-edge bilinear at the shifted pixel.
-        rv = _bilinear(ref_img, ys + dy, xs + dx)
-        # Intersection point X = s * (rqx, rqy, 1), projected to each source.
-        Xs = (
-            R_rel[:, None, None, :, 0] * (s * rqx)[None, ..., None]
-            + R_rel[:, None, None, :, 1] * (s * rqy)[None, ..., None]
-            + R_rel[:, None, None, :, 2] * s[None, ..., None]
-            + t_rel[:, None, None, :]
-        )  # (S, H, W, 3)
-        z = Xs[..., 2]
-        zsafe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-        us = Xs[..., 0] / zsafe * fxs[:, None, None] + cxs[:, None, None]
-        vs = Xs[..., 1] / zsafe * fys[:, None, None] + cys[:, None, None]
-        inb = (us >= 0) & (us <= W - 1) & (vs >= 0) & (vs <= H - 1) & (z > 0) & safe
-        sv = jax.vmap(_bilinear)(src_imgs, vs, us)  # (S, H, W)
-        sv = jnp.where(inb, sv, 0.0)
-        return (
-            s_r + rv, s_rr + rv * rv, s_s + sv, s_ss + sv * sv,
-            s_rs + sv * rv[None], oob + (~inb).astype(jnp.float32),
-        ), None
-
-    init = (
-        jnp.zeros((H, W)), jnp.zeros((H, W)), jnp.zeros((S, H, W)),
-        jnp.zeros((S, H, W)), jnp.zeros((S, H, W)), jnp.zeros((S, H, W)),
-    )
-    (s_r, s_rr, s_s, s_ss, s_rs, oob), _ = jax.lax.scan(accum, init, offsets)
-
-    N = float(No)
-    mr = s_r / N
-    ms = s_s / N
-    var_r = jnp.maximum(s_rr / N - mr * mr, 0.0)
-    var_s = jnp.maximum(s_ss / N - ms * ms, 0.0)
-    cov = s_rs / N - mr[None] * ms
-    sig = jnp.sqrt(var_r[None] * var_s)
-    ncc = jnp.clip(cov / jnp.maximum(sig, cfg.min_sigma**2), -1.0, 1.0)
-    # A window is valid when most samples landed in-bounds and has texture.
-    ok = (oob < 0.3 * N) & (var_r[None] > cfg.min_sigma**2)
-    cost_s = jnp.where(ok, 1.0 - ncc, cfg.cost_invalid)  # (S, H, W)
-
-    k = min(cfg.best_k, S)
-    neg_topk, _ = jax.lax.top_k(-jnp.moveaxis(cost_s, 0, -1), k)
-    return -jnp.mean(neg_topk, axis=-1)  # (H, W)
+def _gather_cols(x, cols):
+    """Gather active columns: x (H, W[, k]) -> (H, Wh[, k])."""
+    if x.ndim == 3:
+        return jnp.take_along_axis(x, cols[..., None], axis=1)
+    return jnp.take_along_axis(x, cols, axis=1)
 
 
 def _plane_from_state(inv_d, n, rpx, rpy):
@@ -178,6 +155,70 @@ def _perturb_normal(key, n, max_deg):
     return jnp.where(out[..., 2:3] < -0.05, out, n)
 
 
+def _cost_active(n_a, c_a, xs_a, ys_a, rv_stack, mr_a, varr_a, src_imgs,
+                 fx, fy, cx, cy, fxs, fys, cxs, cys, R_rel, t_rel,
+                 offsets, cfg: PatchMatchConfig, HW):
+    """NCC cost of candidate planes (n_a (..,3), c_a) on the active pixel
+    field with coordinates (ys_a, xs_a) (float (H, Wh)).
+
+    rv_stack (No, H, Wh): reference intensities at each window offset for
+    the active pixels (candidate-independent, hoisted by the caller).
+    mr_a/varr_a: reference window mean/variance on the active field.
+    Returns cost (H, Wh) in [0, 2] (cost_invalid = invalid)."""
+    H, W = HW
+    S = src_imgs.shape[0]
+    No = len(offsets)
+    sh = c_a.shape
+    offs_arr = jnp.asarray(offsets, jnp.float32)  # (No, 2) static values
+
+    def accum(sums, xs_in):
+        s_s, s_ss, s_rs, oob = sums
+        off, rv = xs_in
+        dy, dx = off[0], off[1]
+        # Window ray at q = p + (dx, dy) — intersect with p's plane.
+        rqx = (xs_a + dx - cx) / fx
+        rqy = (ys_a + dy - cy) / fy
+        ndotr = n_a[..., 0] * rqx + n_a[..., 1] * rqy + n_a[..., 2]
+        safe = jnp.abs(ndotr) > cfg.min_ndotr
+        s = c_a / jnp.where(safe, ndotr,
+                            jnp.where(ndotr >= 0, cfg.min_ndotr, -cfg.min_ndotr))
+        # Intersection point X = s * (rqx, rqy, 1), projected to each source.
+        Xs = (
+            R_rel[:, None, None, :, 0] * (s * rqx)[None, ..., None]
+            + R_rel[:, None, None, :, 1] * (s * rqy)[None, ..., None]
+            + R_rel[:, None, None, :, 2] * s[None, ..., None]
+            + t_rel[:, None, None, :]
+        )  # (S, H, Wh, 3)
+        z = Xs[..., 2]
+        zsafe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        us = Xs[..., 0] / zsafe * fxs[:, None, None] + cxs[:, None, None]
+        vs = Xs[..., 1] / zsafe * fys[:, None, None] + cys[:, None, None]
+        inb = (us >= 0) & (us <= W - 1) & (vs >= 0) & (vs <= H - 1) & (z > 0) & safe
+        sv = jax.vmap(_bilinear)(src_imgs, vs, us)  # (S, H, Wh)
+        sv = jnp.where(inb, sv, 0.0)
+        return (
+            s_s + sv, s_ss + sv * sv, s_rs + sv * rv[None],
+            oob + (~inb).astype(jnp.float32),
+        ), None
+
+    init = tuple(jnp.zeros((S,) + sh) for _ in range(4))
+    (s_s, s_ss, s_rs, oob), _ = jax.lax.scan(accum, init, (offs_arr, rv_stack))
+
+    N = float(No)
+    ms = s_s / N
+    var_s = jnp.maximum(s_ss / N - ms * ms, 0.0)
+    cov = s_rs / N - mr_a[None] * ms
+    sig = jnp.sqrt(varr_a[None] * var_s)
+    ncc = jnp.clip(cov / jnp.maximum(sig, cfg.min_sigma**2), -1.0, 1.0)
+    # A window is valid when most samples landed in-bounds and has texture.
+    ok = (oob < 0.3 * N) & (varr_a[None] > cfg.min_sigma**2)
+    cost_s = jnp.where(ok, 1.0 - ncc, cfg.cost_invalid)  # (S, H, Wh)
+
+    k = min(cfg.best_k, S)
+    neg_topk, _ = jax.lax.top_k(-jnp.moveaxis(cost_s, 0, -1), k)
+    return -jnp.mean(neg_topk, axis=-1)  # (H, Wh)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def patchmatch_refine(
     ref_img: jnp.ndarray,     # (H, W) float32 raw intensities
@@ -196,6 +237,15 @@ def patchmatch_refine(
 
     Returns (depth (H, W), cost (H, W), normal (H, W, 3))."""
     H, W = ref_img.shape
+    if W % 2:  # parity compaction needs an even width: edge-pad one column
+        ref_img = jnp.pad(ref_img, ((0, 0), (0, 1)), mode="edge")
+        src_imgs = jnp.pad(src_imgs, ((0, 0), (0, 0), (0, 1)), mode="edge")
+        inv_d_init = jnp.pad(inv_d_init, ((0, 0), (0, 1)), mode="edge")
+        d, c, n = patchmatch_refine(ref_img, src_imgs, K, K_src, R_rel, t_rel,
+                                    inv_d_init, inv_lo, inv_hi, key, cfg)
+        return d[:, :W], c[:, :W], n[:, :W]
+
+    Wh = W // 2
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
     fxs, fys = K_src[:, 0, 0], K_src[:, 1, 1]
     cxs, cys = K_src[:, 0, 2], K_src[:, 1, 2]
@@ -203,72 +253,119 @@ def patchmatch_refine(
     xs = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
     rpx = (xs - cx) / fx
     rpy = (ys - cy) / fy
-    parity = ((jnp.arange(H)[:, None] + jnp.arange(W)[None, :]) % 2).astype(jnp.int32)
     offsets = _window_offsets(cfg)
+    No = len(offsets)
 
-    cost_fn = partial(
-        _plane_cost, ref_img=ref_img, src_imgs=src_imgs,
-        fxs=fxs, fys=fys, cxs=cxs, cys=cys,
-        fx=fx, fy=fy, cx=cx, cy=cy, R_rel=R_rel, t_rel=t_rel,
-        offsets=offsets, cfg=cfg,
-    )
+    # Candidate-independent reference window statistics (static shifts).
+    s_r = jnp.zeros((H, W))
+    s_rr = jnp.zeros((H, W))
+    for dy, dx in offsets:
+        rv = _shift_edge(ref_img, dy, dx)
+        s_r = s_r + rv
+        s_rr = s_rr + rv * rv
+    mr = s_r / No
+    var_r = jnp.maximum(s_rr / No - mr * mr, 0.0)
+
+    cost_kw = dict(src_imgs=src_imgs, fx=fx, fy=fy, cx=cx, cy=cy, fxs=fxs,
+                   fys=fys, cxs=cxs, cys=cys, R_rel=R_rel, t_rel=t_rel,
+                   offsets=offsets, cfg=cfg, HW=(H, W))
+
+    def eval_parity(phase, n_full, c_full):
+        """Cost of the (n_full, c_full) plane field on parity `phase`'s
+        active cells; returns (cost_a (H, Wh), cols)."""
+        cols = _parity_cols(H, Wh, phase)
+        xs_a = cols.astype(jnp.float32)
+        ys_a = ys[:, :Wh]
+        rv_stack = jnp.stack([
+            _gather_cols(_shift_edge(ref_img, dy, dx), cols)
+            for dy, dx in offsets
+        ])
+        c_a = _cost_active(_gather_cols(n_full, cols), _gather_cols(c_full, cols),
+                           xs_a, ys_a, rv_stack, _gather_cols(mr, cols),
+                           _gather_cols(var_r, cols), **cost_kw)
+        return c_a, cols
 
     n0 = jnp.zeros((H, W, 3)).at[..., 2].set(-1.0)  # fronto-parallel
     inv0 = jnp.clip(inv_d_init, inv_lo, inv_hi)
-    cost0 = cost_fn(n0, _plane_from_state(inv0, n0, rpx, rpy))
+    c0_full = _plane_from_state(inv0, n0, rpx, rpy)
+    # Initial cost: one evaluation per parity, scattered into the full grid.
+    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
+    cost0 = jnp.zeros((H, W))
+    for ph in (0, 1):
+        ca, cols = eval_parity(jnp.int32(ph), n0, c0_full)
+        cost0 = cost0.at[rows, cols].set(ca)
 
     def half_sweep(state, xs_in):
         inv_d, n, cost = state
         key, phase, scale = xs_in
+        cols = _parity_cols(H, Wh, phase)
+        xs_a = cols.astype(jnp.float32)
+        ys_a = ys[:, :Wh]
         c_cur = _plane_from_state(inv_d, n, rpx, rpy)
-        # Candidate planes, stacked (Ncand, H, W, ...):
+        rpx_a = (xs_a - cx) / fx
+        rpy_a = (ys_a - cy) / fy
+        # Hoisted reference stats / values on the active field.
+        rv_stack = jnp.stack([
+            _gather_cols(_shift_edge(ref_img, dy, dx), cols)
+            for dy, dx in offsets
+        ])
+        mr_a = _gather_cols(mr, cols)
+        varr_a = _gather_cols(var_r, cols)
+        inv_a = _gather_cols(inv_d, cols)
+        n_a = _gather_cols(n, cols)
+        cost_a = _gather_cols(cost, cols)
+
+        # Candidate planes on the active field, stacked (Ncand, H, Wh, ...):
         cand_n, cand_c = [], []
         # 4 neighbor planes (checkerboard: neighbors are the other parity).
         for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            nn = jnp.stack(
-                [_shift2d(n[..., i], dy, dx, fill=0.0) for i in range(3)], axis=-1
-            )
-            nn = jnp.where(jnp.abs(nn[..., 2:3]) < 1e-6, n, nn)  # border fill
-            cand_n.append(nn)
-            cand_c.append(_shift2d(c_cur, dy, dx, fill=0.0))
+            nn = jnp.stack([_shift_edge(n[..., i], dy, dx) for i in range(3)],
+                           axis=-1)
+            cand_n.append(_gather_cols(nn, cols))
+            cand_c.append(_gather_cols(_shift_edge(c_cur, dy, dx), cols))
         # Joint depth+normal perturbation (shrinking scale).
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        sh = (H, Wh)
         inv_p = jnp.clip(
-            inv_d * jnp.exp(jax.random.normal(k1, (H, W)) * cfg.perturb_depth * scale),
+            inv_a * jnp.exp(jax.random.normal(k1, sh) * cfg.perturb_depth * scale),
             inv_lo, inv_hi,
         )
-        n_p = _perturb_normal(k2, n, cfg.perturb_normal_deg * scale)
+        n_p = _perturb_normal(k2, n_a, cfg.perturb_normal_deg * scale)
         cand_n.append(n_p)
-        cand_c.append(_plane_from_state(inv_p, n_p, rpx, rpy))
+        cand_c.append(_plane_from_state(inv_p, n_p, rpx_a, rpy_a))
         # Random restart (full-range exploration).
-        inv_r = inv_lo + (inv_hi - inv_lo) * jax.random.uniform(k3, (H, W))
-        n_r = _random_unit_normal(k4, (H, W))
+        inv_r = inv_lo + (inv_hi - inv_lo) * jax.random.uniform(k3, sh)
+        n_r = _random_unit_normal(k4, sh)
         cand_n.append(n_r)
-        cand_c.append(_plane_from_state(inv_r, n_r, rpx, rpy))
+        cand_c.append(_plane_from_state(inv_r, n_r, rpx_a, rpy_a))
         # Normal-only perturbation at the current depth.
-        n_o = _perturb_normal(k5, n, cfg.perturb_normal_deg * scale)
+        n_o = _perturb_normal(k5, n_a, cfg.perturb_normal_deg * scale)
         cand_n.append(n_o)
-        cand_c.append(_plane_from_state(inv_d, n_o, rpx, rpy))
-
-        active = parity == phase
+        cand_c.append(_plane_from_state(inv_a, n_o, rpx_a, rpy_a))
 
         def eval_cand(st, cand):
-            inv_d, n, cost = st
+            inv_b, n_b, cost_b = st
             nn, cc = cand
-            c_cost = cost_fn(nn, cc)
-            inv_c, ok = _state_from_plane(nn, cc, rpx, rpy, cfg.min_ndotr)
+            c_cost = _cost_active(nn, cc, xs_a, ys_a, rv_stack, mr_a, varr_a,
+                                  **cost_kw)
+            inv_c, ok = _state_from_plane(nn, cc, rpx_a, rpy_a, cfg.min_ndotr)
             ok = ok & (inv_c > inv_lo * 0.5) & (inv_c < inv_hi * 2.0)
-            better = active & ok & (c_cost < cost)
+            better = ok & (c_cost < cost_b)
             return (
-                jnp.where(better, inv_c, inv_d),
-                jnp.where(better[..., None], nn, n),
-                jnp.where(better, c_cost, cost),
+                jnp.where(better, inv_c, inv_b),
+                jnp.where(better[..., None], nn, n_b),
+                jnp.where(better, c_cost, cost_b),
             ), None
 
-        state, _ = jax.lax.scan(
-            eval_cand, (inv_d, n, cost), (jnp.stack(cand_n), jnp.stack(cand_c))
+        (inv_a, n_a, cost_a), _ = jax.lax.scan(
+            eval_cand, (inv_a, n_a, cost_a),
+            (jnp.stack(cand_n), jnp.stack(cand_c)),
         )
-        return state, None
+        # Scatter the winners back into the full-resolution state.
+        inv_d = inv_d.at[rows, cols].set(inv_a)
+        n = n.at[rows, cols, :].set(n_a)
+        cost = cost.at[rows, cols].set(cost_a)
+        return (inv_d, n, cost), None
 
     n_sweeps = 2 * cfg.n_iters
     keys = jax.random.split(key, n_sweeps)
