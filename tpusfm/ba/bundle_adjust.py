@@ -308,11 +308,13 @@ def _build_system(pose, gintr, points, refine_m, obs_cam, obs_grp, obs_pt,
         X_o = points[opt]
         r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, ouv, refine)
         w = (_huber_weight(r, cfg.huber_delta) * ow)[:, None]
+        cost = robust_cost(r, ow, cfg.huber_delta)
         r = r * w
         Jc = Jc * w[..., None]
         Jp = Jp * w[..., None]
         out = {}
         acc = dict(carry)
+        acc["cost"] = acc["cost"] + cost
         acc["Hcc"] = acc["Hcc"] + jax.ops.segment_sum(
             jnp.einsum("oki,okj->oij", Jc, Jc), ocam, C)
         acc["Hpp"] = acc["Hpp"] + jax.ops.segment_sum(
@@ -336,6 +338,7 @@ def _build_system(pose, gintr, points, refine_m, obs_cam, obs_grp, obs_pt,
     init = {
         "Hcc": jnp.zeros((C, D, D)), "Hpp": jnp.zeros((P, 3, 3)),
         "gc": jnp.zeros((C, D)), "gp": jnp.zeros((P, 3)),
+        "cost": jnp.zeros(()),
     }
     if refine:
         init.update({
@@ -530,15 +533,13 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
     def grp_reduce(vals):
         return _maybe_psum(ot.segsum_table(vals, obs_grp, G, interpret=itp), ax)
 
-    def cost_of(ps, gi, pts):
-        pose_o = _gather(ps, obs_cam)
-        intr_o = _gather(gi, obs_grp)
-        X_o = _gather_pts(pts)
-        r = jax.vmap(_residual_one)(pose_o, intr_o, X_o, obs_uv)
-        return _maybe_psum(robust_cost(r, obs_w, cfg.huber_delta), ax)
+    def linearize(ps, gi, pts):
+        """ONE pass over the obs table -> (system dict, robust cost).
 
-    def lm_step(carry):
-        ps, gi, pts, lam, cost, done, it = carry
+        The cost comes out of the same pass (fused kernel cost column /
+        the raw residuals before IRLS weighting), so the LM driver can use
+        a candidate's linearization AS its accept-test evaluation and never
+        run a separate cost pass (two-pass accept, PERF.md lever #2)."""
         if fused:
             # One pallas pass over the obs table produces the fused value
             # tables (Jacobians computed in closed form in-kernel; PERF.md
@@ -558,23 +559,28 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
                 camvals_t, ptvals_t, Wc_flat = outs
                 Wg_flat = None
             camred = cam_reduce(camvals_t)
-            Hcc = camred[:, : D * D].reshape(C, D, D)
-            gc = camred[:, D * D: D * D + D]
-            Hcg = (camred[:, D * D + D:].reshape(C, D, E) if refine else None)
+            sys = {
+                "Hcc": camred[:, : D * D].reshape(C, D, D),
+                "gc": camred[:, D * D: D * D + D],
+                "Wc": Wc_flat,
+            }
+            cost = jnp.sum(camred[:, -1])
             if refine:
+                sys["Hcg"] = camred[:, D * D + D: D * D + D + D * E].reshape(
+                    C, D, E)
                 grpred = grp_reduce(grpvals_t)
-                Hgg = grpred[:, : E * E].reshape(G, E, E)
-                gg = grpred[:, E * E:]
+                sys["Hgg"] = grpred[:, : E * E].reshape(G, E, E)
+                sys["gg"] = grpred[:, E * E:]
+                sys["Wg"] = Wg_flat
             ptred = pt_reduce(ptvals_t)
-            Hpp = ptred[:, :9].reshape(P, 3, 3)
-            gp = ptred[:, 9:]
-            Wc3 = Wc_flat.reshape(-1, D, 3)
-            Wg3 = Wg_flat.reshape(-1, E, 3) if refine else None
+            sys["Hpp"] = ptred[:, :9].reshape(P, 3, 3)
+            sys["gp"] = ptred[:, 9:]
         else:
             pose_o = _gather(ps, obs_cam)
             intr_o = _gather(gi, obs_grp)
             X_o = _gather_pts(pts)
             r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, obs_uv, refine)
+            cost = _maybe_psum(robust_cost(r, obs_w, cfg.huber_delta), ax)
             w = (_huber_weight(r, cfg.huber_delta) * obs_w)[:, None]
             r = r * w
             Jc = Jc * w[..., None]
@@ -589,31 +595,44 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             if refine:
                 camvals.append(jnp.einsum("oki,okj->oij", Jc, Jg).reshape(-1, D * E))
             camred = cam_reduce(jnp.concatenate(camvals, axis=-1))
-            Hcc = camred[:, : D * D].reshape(C, D, D)
-            gc = camred[:, D * D: D * D + D]
-            Hcg = (camred[:, D * D + D:].reshape(C, D, E) if refine else None)
-            # Group side: one fused (O, E*E + E) reduction.
+            sys = {
+                "Hcc": camred[:, : D * D].reshape(C, D, D),
+                "gc": camred[:, D * D: D * D + D],
+            }
             if refine:
+                sys["Hcg"] = camred[:, D * D + D:].reshape(C, D, E)
+                # Group side: one fused (O, E*E + E) reduction.
                 grpvals = jnp.concatenate([
                     jnp.einsum("oki,okj->oij", Jg, Jg).reshape(-1, E * E),
                     jnp.einsum("oki,ok->oi", Jg, r),
                 ], axis=-1)
                 grpred = grp_reduce(grpvals)
-                Hgg = grpred[:, : E * E].reshape(G, E, E)
-                gg = grpred[:, E * E:]
+                sys["Hgg"] = grpred[:, : E * E].reshape(G, E, E)
+                sys["gg"] = grpred[:, E * E:]
             # Point side: one fused (O, 12) reduction.
             ptvals = jnp.concatenate([
                 jnp.einsum("oki,okj->oij", Jp, Jp).reshape(-1, 9),
                 jnp.einsum("oki,ok->oi", Jp, r),
             ], axis=-1)
             ptred = pt_reduce(ptvals)
-            Hpp = ptred[:, :9].reshape(P, 3, 3)
-            gp = ptred[:, 9:]
-            Wc3 = jnp.einsum("oki,okj->oij", Jc, Jp)  # (O, D, 3), point-sorted
-            Wg3 = jnp.einsum("oki,okj->oij", Jg, Jp) if refine else None
+            sys["Hpp"] = ptred[:, :9].reshape(P, 3, 3)
+            sys["gp"] = ptred[:, 9:]
             # Flattened coupling tables for the fused Schur kernels.
-            Wc_flat = Wc3.reshape(-1, D * 3)
-            Wg_flat = Wg3.reshape(-1, E * 3) if refine else None
+            sys["Wc"] = jnp.einsum("oki,okj->oij", Jc, Jp).reshape(-1, D * 3)
+            if refine:
+                sys["Wg"] = jnp.einsum("oki,okj->oij", Jg, Jp).reshape(-1, E * 3)
+        return sys, cost
+
+    def solve(sys, lam):
+        """Damped Schur-complement solve of the carried linearization ->
+        (dc, dg, dp)."""
+        Hcc, gc, gp = sys["Hcc"], sys["gc"], sys["gp"]
+        Hpp, Wc_flat = sys["Hpp"], sys["Wc"]
+        Hcg = sys.get("Hcg")
+        Hgg = sys.get("Hgg")
+        gg = sys.get("gg")
+        Wg_flat = sys.get("Wg")
+        Wc3 = Wc_flat.reshape(-1, D, 3)
 
         Hcc_d = _damp_blocks(Hcc, lam)
         Hpp_inv = _inv3(_damp_blocks(Hpp, lam))
@@ -699,15 +718,30 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
                                          interpret=itp)
         Wtd = _maybe_psum(from_rank(Wtd_r), ax)
         dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtd) * pt_upd
+        return dc, dg, dp
 
+    def lm_step(carry):
+        """Two-pass-accept LM iteration: the carried linearization is solved
+        at the current damping, the candidate is LINEARIZED (not just
+        costed) in one pass, and an accepted step's linearization becomes
+        the next iteration's system — so each iteration runs exactly one
+        obs-table linearization pass, and rejected steps run none at all
+        (they re-solve the carried system at higher lambda)."""
+        ps, gi, pts, sys, lam, cost, done, it = carry
+        dc, dg, dp = solve(sys, lam)
         ps_new = ps + dc
         gi_new = gi + dg if refine else gi
         pts_new = pts + dp
-        new_cost = cost_of(ps_new, gi_new, pts_new)
+        sys_new, new_cost = linearize(ps_new, gi_new, pts_new)
         accept = (new_cost < cost) & ~done
-        ps = jnp.where(accept, ps_new, ps)
-        gi = jnp.where(accept, gi_new, gi)
-        pts = jnp.where(accept, pts_new, pts)
+
+        def sel(new, old):
+            return jnp.where(accept, new, old)
+
+        ps = sel(ps_new, ps)
+        gi = sel(gi_new, gi) if refine else gi
+        pts = sel(pts_new, pts)
+        sys = jax.tree_util.tree_map(sel, sys_new, sys)
         cost_out = jnp.where(accept, new_cost, cost)
         lam = jnp.where(
             accept,
@@ -716,13 +750,13 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         )
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
         done = done | (accept & (rel < cfg.converge_rtol))
-        return ps, gi, pts, lam, cost_out, done, it + 1
+        return ps, gi, pts, sys, lam, cost_out, done, it + 1
 
-    init_cost = cost_of(pose0, gintr0, points)
-    (ps, gi, pts, lam, final_cost, _, n_it) = jax.lax.while_loop(
-        lambda c: (c[6] < cfg.max_iters) & ~c[5],
+    sys0, init_cost = linearize(pose0, gintr0, points)
+    (ps, gi, pts, _, lam, final_cost, _, n_it) = jax.lax.while_loop(
+        lambda c: (c[7] < cfg.max_iters) & ~c[6],
         lm_step,
-        (pose0, gintr0, points, jnp.float32(cfg.lambda_init), init_cost,
+        (pose0, gintr0, points, sys0, jnp.float32(cfg.lambda_init), init_cost,
          jnp.bool_(False), jnp.int32(0)),
     )
     return ps, gi, pts, lam, init_cost, final_cost, n_it
@@ -816,33 +850,38 @@ def bundle_adjust(
         }
         return intr_out, ps[:, :3], ps[:, 3:6], pts, info
 
-    def cost_of(ps, gi, pts):
-        r = jax.vmap(_residual_one)(ps[obs_cam], gi[obs_grp], pts[obs_pt], obs_uv)
-        return _maybe_psum(robust_cost(r, obs_w, cfg.huber_delta), cfg.axis_name)
-
-    def lm_step(carry):
-        ps, gi, pts, lam, cost, done, it = carry
-
+    def linearize(ps, gi, pts):
+        """One chunked pass over the obs table -> (system dict incl. the W
+        coupling tables, robust cost) — the cost rides along so the LM
+        driver reuses the candidate's linearization as its accept test
+        (two-pass accept)."""
         acc, Wc, Wg = _build_system(
             ps, gi, pts, refine_m, obs_cam, obs_grp, obs_pt, obs_uv, obs_w,
             C, G, cfg
         )
-        Wc3 = Wc.reshape(-1, D, 3)
-        Wg3 = Wg.reshape(-1, E, 3) if refine else None
+        cost = acc.pop("cost")  # psum-reduced inside _build_system
+        acc["Wc"] = Wc
+        if refine:
+            acc["Wg"] = Wg
+        return acc, cost
+
+    def solve(sys, lam):
+        Wc3 = sys["Wc"].reshape(-1, D, 3)
+        Wg3 = sys["Wg"].reshape(-1, E, 3) if refine else None
         # Marquardt-scaled LM damping on the diagonal blocks.
-        Hcc_d = _damp_blocks(acc["Hcc"], lam)
-        Hpp_inv = _inv3(_damp_blocks(acc["Hpp"], lam))
-        Hgg_d = _damp_blocks(acc["Hgg"], lam) if refine else None
-        Hcg = acc["Hcg"] if refine else None
+        Hcc_d = _damp_blocks(sys["Hcc"], lam)
+        Hpp_inv = _inv3(_damp_blocks(sys["Hpp"], lam))
+        Hgg_d = _damp_blocks(sys["Hgg"], lam) if refine else None
+        Hcg = sys["Hcg"] if refine else None
 
         # Reduced system rhs: -g + W Hpp^-1 gp (per block type).
-        z = jnp.einsum("pij,pj->pi", Hpp_inv, acc["gp"])
+        z = jnp.einsum("pij,pj->pi", Hpp_inv, sys["gp"])
         z_o = z[obs_pt]
-        rhs_c = -acc["gc"] + _maybe_psum(jax.ops.segment_sum(
+        rhs_c = -sys["gc"] + _maybe_psum(jax.ops.segment_sum(
             jnp.einsum("oij,oj->oi", Wc3, z_o), obs_cam, C), cfg.axis_name)
         rhs_c = rhs_c * upd_c
         if refine:
-            rhs_g = -acc["gg"] + _maybe_psum(jax.ops.segment_sum(
+            rhs_g = -sys["gg"] + _maybe_psum(jax.ops.segment_sum(
                 jnp.einsum("oij,oj->oi", Wg3, z_o), obs_grp, G), cfg.axis_name)
             rhs_g = rhs_g * upd_g
 
@@ -854,8 +893,8 @@ def bundle_adjust(
                 obs_pt, rhs_flat, upd_c, upd_g, cam_group, C, G, refine,
                 cfg.axis_name)
         else:
-            S_diag = _schur_diag_pose(Hcc_d, Hpp_inv, Wc, obs_cam, obs_pt, C,
-                                      cfg, cfg.axis_name)
+            S_diag = _schur_diag_pose(Hcc_d, Hpp_inv, sys["Wc"], obs_cam,
+                                      obs_pt, C, cfg, cfg.axis_name)
             M_inv_c = _invD(S_diag)
             M_inv_g = _invD(Hgg_d) if refine else None
 
@@ -898,16 +937,27 @@ def bundle_adjust(
         if refine:
             u = u + jnp.einsum("oij,oi->oj", Wg3, dg[obs_grp])
         Wtd = _maybe_psum(jax.ops.segment_sum(u, obs_pt, P), cfg.axis_name)
-        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, acc["gp"] + Wtd) * pt_upd
+        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, sys["gp"] + Wtd) * pt_upd
+        return dc, dg, dp
 
+    def lm_step(carry):
+        # Two-pass accept: solve the carried system, linearize the candidate
+        # (cost comes from the same pass), keep the winner's linearization.
+        ps, gi, pts, sys, lam, cost, done, it = carry
+        dc, dg, dp = solve(sys, lam)
         ps_new = ps + dc
         gi_new = gi + dg if refine else gi
         pts_new = pts + dp
-        new_cost = cost_of(ps_new, gi_new, pts_new)
+        sys_new, new_cost = linearize(ps_new, gi_new, pts_new)
         accept = (new_cost < cost) & ~done
-        ps = jnp.where(accept, ps_new, ps)
-        gi = jnp.where(accept, gi_new, gi)
-        pts = jnp.where(accept, pts_new, pts)
+
+        def sel(new, old):
+            return jnp.where(accept, new, old)
+
+        ps = sel(ps_new, ps)
+        gi = sel(gi_new, gi) if refine else gi
+        pts = sel(pts_new, pts)
+        sys = jax.tree_util.tree_map(sel, sys_new, sys)
         cost_out = jnp.where(accept, new_cost, cost)
         lam = jnp.where(
             accept,
@@ -917,16 +967,16 @@ def bundle_adjust(
         # Converged when an accepted step barely improves the cost.
         rel = jnp.abs(cost - cost_out) / jnp.maximum(cost, 1e-12)
         done = done | (accept & (rel < cfg.converge_rtol))
-        return ps, gi, pts, lam, cost_out, done, it + 1
+        return ps, gi, pts, sys, lam, cost_out, done, it + 1
 
-    init_cost = cost_of(pose0, gintr, points)
+    sys0, init_cost = linearize(pose0, gintr, points)
     # A real while_loop (not scan): converged solves stop paying for the
     # remaining LM iterations on device — mid-reconstruction step-BAs
     # typically accept 2-4 steps and exit.
-    (ps, gi, pts, lam, final_cost, _, n_it) = jax.lax.while_loop(
-        lambda c: (c[6] < cfg.max_iters) & ~c[5],
+    (ps, gi, pts, _, lam, final_cost, _, n_it) = jax.lax.while_loop(
+        lambda c: (c[7] < cfg.max_iters) & ~c[6],
         lm_step,
-        (pose0, gintr, points, jnp.float32(cfg.lambda_init), init_cost,
+        (pose0, gintr, points, sys0, jnp.float32(cfg.lambda_init), init_cost,
          jnp.bool_(False), jnp.int32(0)),
     )
     intr_out = gi[cam_group]

@@ -285,7 +285,8 @@ def segsum_sorted(vals: jnp.ndarray, idx_sorted: jnp.ndarray, p: int,
 # (pose 6, shared-intrinsics 7, point 3), Huber-weighted residuals, and all
 # per-observation normal-equation products, emitted as fused value tables:
 #
-#   camvals (O, 42|84) = [Hcc 36 | gc 6 | Hcg 42]   -> segsum_table by camera
+#   camvals (O, 43|85) = [Hcc 36 | gc 6 | Hcg 42 | robust cost 1]
+#                                                   -> segsum_table by camera
 #   ptvals  (O, 12)    = [Hpp 9 | gp 3]             -> segsum_sorted by rank
 #   wc      (O, 18)    = Jc^T Jp row-major          -> Schur coupling table
 #   grpvals (O, 56)    = [Hgg 49 | gg 7]            -> segsum_table by group
@@ -365,8 +366,13 @@ def _linearize_kernel(refine, huber_delta, refine_mask, eps,
     z = dot3(Rr2, X) + camg[:, 2:3]
     zs = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
     iz = _recip_f32(zs)
-    x = Xc1 * iz
-    y = Xc2 * iz
+    valid = w_ref[:] > 0
+    # Gate masked/padded rows to a benign ray: their X gathers to 0, and if
+    # the camera has |t_z| ~ 0 with nonzero k2/k3 the distortion polynomial
+    # overflows to inf, whose 0-weight product is NaN — which would poison
+    # the segment sums (advisor finding, round 2).
+    x = jnp.where(valid, Xc1 * iz, 0.0)
+    y = jnp.where(valid, Xc2 * iz, 0.0)
     r2 = x * x + y * y
     fx, fy = intg[:, 0:1], intg[:, 1:2]
     k1, k2, k3 = intg[:, 4:5], intg[:, 5:6], intg[:, 6:7]
@@ -437,6 +443,13 @@ def _linearize_kernel(refine, huber_delta, refine_mask, eps,
     if refine:
         camvals += [Jc_u[:, i:i + 1] * Jg_u + Jc_v[:, i:i + 1] * Jg_v
                     for i in range(6)]                             # Hcg 42
+    # Per-obs robust (Huber) cost of the UNWEIGHTED residual — lets the LM
+    # driver reuse this pass as the accept-test cost evaluation (two-pass
+    # accept, PERF.md lever #2).  Masked rows contribute exact zeros.
+    hcost = jnp.where(
+        nrm <= huber_delta, 0.5 * nrm * nrm,
+        huber_delta * (nrm - 0.5 * huber_delta))
+    camvals.append(jnp.where(valid, hcost * w_ref[:], 0.0))        # cost 1
     camvals_ref[:] = jnp.concatenate(camvals, axis=1)
 
     ptvals = [Jp_u[:, i:i + 1] * Jp_u + Jp_v[:, i:i + 1] * Jp_v
@@ -494,7 +507,7 @@ def linearize_radial3(camtab: jnp.ndarray, grptab: jnp.ndarray,
     pts_p = _pad_rows(pts_rank.astype(jnp.float32), p_tab)
     wstart = jnp.minimum(ranks_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
 
-    cam_w = 84 if refine else 42
+    cam_w = 85 if refine else 43  # [Hcc 36 | gc 6 | (Hcg 42) | cost 1]
     out_shapes = [
         jax.ShapeDtypeStruct((o_p, cam_w), jnp.float32),   # camvals
         jax.ShapeDtypeStruct((o_p, 12), jnp.float32),      # ptvals
