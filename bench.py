@@ -173,10 +173,16 @@ out = {}
 for ndev in (1, 8):
     c = dataclasses.replace(cfg, devices=ndev)
     run_sparse(images, gt["intr"], c)  # warm
-    t0 = time.time()
-    _, rep = run_sparse(images, gt["intr"], c)
-    out[str(ndev)] = {"seconds": round(time.time() - t0, 2),
-                      "registered": rep["n_registered"]}
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        _, rep = run_sparse(images, gt["intr"], c)
+        dt = time.time() - t0
+        if best is None or dt < best[0]:
+            best = (dt, rep)
+    out[str(ndev)] = {"seconds": round(best[0], 2),
+                      "registered": best[1]["n_registered"],
+                      "times_s": best[1]["times_s"]}
 print(json.dumps(out))
 """
     try:
@@ -188,6 +194,8 @@ print(json.dumps(out))
         return {"t_1dev_s": t1, "t_8dev_s": t8,
                 "overhead_factor": round(t8 / max(t1, 1e-9), 3),
                 "registered": (d["1"]["registered"], d["8"]["registered"]),
+                "stage_times_1dev_s": d["1"].get("times_s"),
+                "stage_times_8dev_s": d["8"].get("times_s"),
                 "note": "virtual 8-device CPU mesh shares one host: this is "
                         "mesh-path overhead, not physical scaling"}
     except Exception as e:
