@@ -19,9 +19,17 @@ the same synthetic scenes, stage for stage:
   incremental engine (reconstruction)   E-matrix init + solvePnPRansac
                                         (8px, SequentialActuator.h:176) +
                                         cv2.triangulatePoints
-  Ceres SPARSE_SCHUR BA 1 thread        scipy.optimize.least_squares TRF,
-  (BundleAdjuster.h:167-174)            sparse jacobian, huber f_scale=4
-                                        (BundleAdjuster.h:109)
+  Ceres SPARSE_SCHUR BA 1 thread        numpy/BLAS Schur-eliminated LM:
+  (BundleAdjuster.h:167-174)            analytic Jacobians, Huber delta=4
+                                        IRLS (BundleAdjuster.h:109), exact
+                                        3x3 point elimination + dense
+                                        camera-system Cholesky per LM step
+                                        — the same per-iteration math
+                                        SPARSE_SCHUR does (round 2 used
+                                        scipy TRF, which is slower per
+                                        iteration than Ceres and
+                                        flattered vs_baseline; see
+                                        BASELINE.md)
 
 All heavy kernels are C/C++ (OpenCV, scipy) — this is a real CPU pipeline,
 not interpreted Python.  Used by bench.py to produce a *measured*
@@ -33,6 +41,149 @@ from __future__ import annotations
 import time
 
 import numpy as np
+
+
+def _so3_exp_np(aa: np.ndarray) -> np.ndarray:
+    """Batched axis-angle -> rotation matrices (Rodrigues), numpy."""
+    th = np.linalg.norm(aa, axis=-1, keepdims=True)
+    th = np.maximum(th, 1e-12)
+    k = aa / th
+    K = np.zeros(aa.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -k[..., 2], k[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = k[..., 2], -k[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -k[..., 1], k[..., 0]
+    th = th[..., None]
+    eye = np.broadcast_to(np.eye(3), K.shape)
+    return eye + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
+def _so3_right_jacobian_np(aa: np.ndarray) -> np.ndarray:
+    """Batched SO(3) right Jacobian J_r(aa), numpy."""
+    th = np.linalg.norm(aa, axis=-1)
+    K = np.zeros(aa.shape[:-1] + (3, 3))
+    k = aa / np.maximum(th, 1e-12)[..., None]
+    K[..., 0, 1], K[..., 0, 2] = -k[..., 2], k[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = k[..., 2], -k[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -k[..., 1], k[..., 0]
+    th_ = np.maximum(th, 1e-6)[..., None, None]
+    eye = np.broadcast_to(np.eye(3), K.shape)
+    # Jr = I - (1-cos)/th * K + (th-sin)/th * K^2  (K = [k]x, unit axis)
+    Jr = eye - (1 - np.cos(th_)) / th_ * K + (th_ - np.sin(th_)) / th_ * (K @ K)
+    small = (th < 1e-6)[..., None, None]
+    return np.where(small, eye - 0.5 * K * th_, Jr)
+
+
+def _schur_lm_ba(cam0, X0, ocam, opt, ouv, K, huber=4.0, max_iters=25,
+                 rtol=3e-6):
+    """Ceres-SPARSE_SCHUR-equivalent CPU bundle adjustment in numpy/BLAS:
+    analytic Jacobians, Huber IRLS, exact 3x3 point-block elimination, dense
+    reduced camera system solved by Cholesky, Marquardt damping with
+    accept/reject.  Gauge: camera 0 fixed (BundleAdjuster.h:105)."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    cams = cam0.copy()
+    pts = X0.copy()
+    nC, nP, nO = len(cams), len(pts), len(ocam)
+    lam = 1e-4
+    lin_cp = opt.astype(np.int64) * nC + ocam
+
+    def robust_cost(r):
+        n = np.linalg.norm(r, axis=-1)
+        return float(np.sum(np.where(n <= huber, 0.5 * n * n,
+                                     huber * (n - 0.5 * huber))))
+
+    def seg_sum(idx, vals, n):
+        """Segment sum via bincount (much faster than np.add.at)."""
+        w = vals.shape[1]
+        flat = (idx[:, None].astype(np.int64) * w
+                + np.arange(w)[None, :]).ravel()
+        return np.bincount(flat, weights=vals.ravel(),
+                           minlength=n * w).reshape(n, w)
+
+    def linearize(cams, pts):
+        R = _so3_exp_np(cams[:, :3])
+        Jr = _so3_right_jacobian_np(cams[:, :3])
+        Ro = R[ocam]
+        Xo = pts[opt]
+        Xc = np.einsum("oij,oj->oi", Ro, Xo) + cams[ocam, 3:]
+        z = np.where(np.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+        x = Xc[:, 0] / z
+        y = Xc[:, 1] / z
+        r = np.stack([fx * x + cx - ouv[:, 0], fy * y + cy - ouv[:, 1]], 1)
+        # d r / d Xc
+        L = np.zeros((nO, 2, 3))
+        L[:, 0, 0] = fx / z
+        L[:, 0, 2] = -fx * x / z
+        L[:, 1, 1] = fy / z
+        L[:, 1, 2] = -fy * y / z
+        # dXc/daa = -R [X]x Jr ; dXc/dt = I ; dXc/dX = R
+        Xx = np.zeros((nO, 3, 3))
+        Xx[:, 0, 1], Xx[:, 0, 2] = -Xo[:, 2], Xo[:, 1]
+        Xx[:, 1, 0], Xx[:, 1, 2] = Xo[:, 2], -Xo[:, 0]
+        Xx[:, 2, 0], Xx[:, 2, 1] = -Xo[:, 1], Xo[:, 0]
+        N = -np.einsum("oij,ojk,okl->oil", Ro, Xx, Jr[ocam])
+        Jc = np.concatenate([np.einsum("oij,ojk->oik", L, N),
+                             L], axis=2)  # (O, 2, 6)
+        Jp = np.einsum("oij,ojk->oik", L, Ro)  # (O, 2, 3)
+        # Huber IRLS weights
+        n = np.linalg.norm(r, axis=-1)
+        w = np.sqrt(np.minimum(1.0, huber / np.maximum(n, 1e-12)))[:, None]
+        return robust_cost(r), r * w, Jc * w[..., None], Jp * w[..., None]
+
+    cost, r, Jc, Jp = linearize(cams, pts)
+    init_cost = cost
+    it_done = 0
+    for _ in range(max_iters):
+        Hcc = seg_sum(ocam, np.einsum("oki,okj->oij", Jc, Jc).reshape(nO, 36),
+                      nC).reshape(nC, 6, 6)
+        Hpp = seg_sum(opt, np.einsum("oki,okj->oij", Jp, Jp).reshape(nO, 9),
+                      nP).reshape(nP, 3, 3)
+        gc = seg_sum(ocam, np.einsum("oki,ok->oi", Jc, r), nC)
+        gp = seg_sum(opt, np.einsum("oki,ok->oi", Jp, r), nP)
+        W = np.einsum("oki,okj->oij", Jc, Jp)  # (O, 6, 3)
+        # Marquardt damping.
+        di = np.arange(6)
+        Hcc_d = Hcc.copy()
+        Hcc_d[:, di, di] += lam * np.maximum(Hcc[:, di, di], 1e-6)
+        dp3 = np.arange(3)
+        Hpp_d = Hpp.copy()
+        Hpp_d[:, dp3, dp3] += lam * np.maximum(Hpp[:, dp3, dp3], 1e-6)
+        Hpp_inv = np.linalg.inv(Hpp_d + 1e-12 * np.eye(3))
+        # Dense coupling table (P, C, 6, 3) and Schur complement.
+        Wcp = seg_sum(lin_cp, W.reshape(nO, 18),
+                      nP * nC).reshape(nP, nC, 6, 3)
+        A = np.einsum("pcdk,pkl->pcdl", Wcp, Hpp_inv)
+        S = -np.einsum("pcdl,pejl->cdej", A, Wcp).reshape(nC * 6, nC * 6)
+        for c in range(nC):
+            S[c * 6:(c + 1) * 6, c * 6:(c + 1) * 6] += Hcc_d[c]
+        rhs = (-gc + np.einsum("pcdl,pl->cd",
+                               Wcp, np.einsum("pkl,pl->pk", Hpp_inv, gp))
+               ).reshape(-1)
+        # Gauge: freeze camera 0.
+        upd = np.ones(nC * 6)
+        upd[:6] = 0.0
+        S = S * np.outer(upd, upd) + np.diag(1.0 - upd)
+        rhs = rhs * upd
+        try:
+            from scipy.linalg import cho_factor, cho_solve
+            dc = cho_solve(cho_factor(S), rhs).reshape(nC, 6)
+        except Exception:
+            dc = np.linalg.solve(S, rhs).reshape(nC, 6)
+        Wtd = np.einsum("pcdl,cd->pl", Wcp, dc)
+        dpt = -np.einsum("pkl,pl->pk", Hpp_inv, gp + Wtd)
+        cams_new = cams + dc
+        pts_new = pts + dpt
+        new_cost, r_new, Jc_new, Jp_new = linearize(cams_new, pts_new)
+        it_done += 1
+        if new_cost < cost:
+            rel = (cost - new_cost) / max(cost, 1e-12)
+            cams, pts = cams_new, pts_new
+            cost, r, Jc, Jp = new_cost, r_new, Jc_new, Jp_new
+            lam = max(lam * 0.5, 1e-10)
+            if rel < rtol:
+                break
+        else:
+            lam = min(lam * 4.0, 1e8)
+    return cams, pts, init_cost, cost, it_done
 
 
 def run_cpu_baseline(images: np.ndarray, intr: np.ndarray, ba: bool = True,
@@ -192,9 +343,6 @@ def run_cpu_baseline(images: np.ndarray, intr: np.ndarray, ba: bool = True,
     # --- bundle adjustment (Ceres SPARSE_SCHUR stand-in) --------------------
     if ba and len(world) > 10:
         t0 = time.time()
-        from scipy.optimize import least_squares
-        from scipy.sparse import lil_matrix
-
         view_ids = sorted(poses)
         vidx = {v: k for k, v in enumerate(view_ids)}
         tids = sorted(world)
@@ -210,34 +358,14 @@ def run_cpu_baseline(images: np.ndarray, intr: np.ndarray, ba: bool = True,
             cam0[k, :3] = rv.ravel()
             cam0[k, 3:] = poses[v][1]
         X0 = np.asarray([world[t_] for t_ in tids])
-        x0 = np.concatenate([cam0.ravel(), X0.ravel()])
         nC = len(view_ids)
         ocam = np.asarray([r[0] for r in rows])
         opt = np.asarray([r[1] for r in rows])
         ouv = np.asarray([r[2] for r in rows])
 
-        def resid(x):
-            import cv2 as _cv2
-
-            cams = x[: nC * 6].reshape(nC, 6)
-            pts = x[nC * 6:].reshape(-1, 3)
-            out = np.zeros((len(rows), 2))
-            for c in range(nC):
-                sel = ocam == c
-                if not sel.any():
-                    continue
-                rv = cams[c, :3].reshape(3, 1)
-                tv = cams[c, 3:].reshape(3, 1)
-                proj, _ = _cv2.projectPoints(pts[opt[sel]], rv, tv, K, None)
-                out[sel] = proj.reshape(-1, 2) - ouv[sel]
-            return out.ravel()
-
-        spar = lil_matrix((2 * len(rows), len(x0)), dtype=np.int8)
-        for r, (c, p, _) in enumerate(rows):
-            spar[2 * r: 2 * r + 2, 6 * c: 6 * c + 6] = 1
-            spar[2 * r: 2 * r + 2, nC * 6 + 3 * p: nC * 6 + 3 * p + 3] = 1
-        least_squares(resid, x0, jac_sparsity=spar, method="trf",
-                      loss="huber", f_scale=4.0, max_nfev=25, verbose=0)
+        _, _, ba_ic, ba_fc, ba_it = _schur_lm_ba(
+            cam0, X0, ocam, opt, ouv, K, huber=4.0, max_iters=25)
+        log(f"cpu-baseline BA: cost {ba_ic:.1f} -> {ba_fc:.1f} in {ba_it} it")
         times["ba"] = time.time() - t0
 
     total = time.time() - t_all
