@@ -91,59 +91,80 @@ def rotation_averaging(edge_i, edge_j, R_rel, w, R_init, n_views: int, iters: in
 # Translation averaging
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_views", "cg_iters"))
+@partial(jax.jit, static_argnames=("n_views", "cg_iters", "irls_iters"))
 def translation_averaging(edge_i, edge_j, dirs, w, anchor_j: jnp.ndarray,
-                          n_views: int, cg_iters: int):
+                          n_views: int, cg_iters: int, irls_iters: int = 1):
     """Camera centers from pairwise directions d_ij ~ (C_j - C_i)/|.|.
 
     Minimizes sum_e w_e |[d]_x (C_j - C_i)|^2 with C_0 = 0 (gauge) and
-    C_{anchor_j} = d_{0,anchor} (scale).  Matrix-free CG.  Returns (V, 3)."""
+    C_{anchor_j} = d_{0,anchor} (scale), then re-solves with
+    cheirality-flipped edges (solved displacement anti-parallel to the
+    measured direction — e.g. a wrong-sign E decomposition) removed.
+    Soft Cauchy-style IRLS was measured to HURT here: on short-baseline
+    chain graphs the direction errors are small but correlated (they come
+    from the shared rotation-averaging solution), so down-weighting the
+    tail just un-stiffens the chain; only outright flips are worth
+    rejecting.  Matrix-free CG per round.  Returns (V, 3)."""
     Dx = lie.hat(dirs)  # (E, 3, 3)
-    wD = w[:, None, None] * jnp.einsum("eji,ejk->eik", Dx, Dx)  # [d]x^T [d]x * w
+    DtD = jnp.einsum("eji,ejk->eik", Dx, Dx)  # [d]x^T [d]x
 
     fixed_mask = jnp.zeros((n_views,), bool).at[0].set(True)
     fixed_mask = fixed_mask.at[anchor_j].set(True)
     free = (~fixed_mask).astype(jnp.float32)[:, None]
 
-    def AtA(C):
-        diff = C[edge_j] - C[edge_i]  # (E, 3)
-        u = jnp.einsum("eij,ej->ei", wD, diff)
-        out = jax.ops.segment_sum(u, edge_j, n_views)
-        out -= jax.ops.segment_sum(u, edge_i, n_views)
-        return out
-
-    # Fixed part contributes to the RHS.
     C_fixed = jnp.zeros((n_views, 3))
     anchor_dir = jnp.sum(
         jnp.where(((edge_i == 0) & (edge_j == anchor_j))[:, None], dirs, 0.0), axis=0
     )
     C_fixed = C_fixed.at[anchor_j].set(anchor_dir)
-    b = -(AtA(C_fixed)) * free
 
-    def mv(v):
-        return AtA(v * free) * free + 1e-8 * v * free
+    def solve(we, x0):
+        wD = (w * we)[:, None, None] * DtD
 
-    # Plain CG.
-    x = jnp.zeros((n_views, 3))
-    r = b
-    p = r
-    rs = jnp.sum(r * r)
+        def AtA(C):
+            diff = C[edge_j] - C[edge_i]  # (E, 3)
+            u = jnp.einsum("eij,ej->ei", wD, diff)
+            out = jax.ops.segment_sum(u, edge_j, n_views)
+            out -= jax.ops.segment_sum(u, edge_i, n_views)
+            return out
 
-    def body(carry):
-        x, r, p, rs, it = carry
-        Ap = mv(p)
-        alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-20)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rs_new = jnp.sum(r * r)
-        p = r + (rs_new / jnp.maximum(rs, 1e-20)) * p
-        return x, r, p, rs_new, it + 1
+        b = -(AtA(C_fixed)) * free
 
-    def cond(carry):
-        _, r, _, rs, it = carry
-        return (it < cg_iters) & (rs > 1e-14)
+        def mv(v):
+            return AtA(v * free) * free + 1e-8 * v * free
 
-    x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
+        x = x0 * free
+        r = b - mv(x)
+        p = r
+        rs = jnp.sum(r * r)
+
+        def body(carry):
+            x, r, p, rs, it = carry
+            Ap = mv(p)
+            alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = jnp.sum(r * r)
+            p = r + (rs_new / jnp.maximum(rs, 1e-20)) * p
+            return x, r, p, rs_new, it + 1
+
+        def cond(carry):
+            _, r, _, rs, it = carry
+            return (it < cg_iters) & (rs > 1e-14)
+
+        x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
+        return x
+
+    def flip_round(x, _):
+        C = x + C_fixed
+        diff = C[edge_j] - C[edge_i]
+        nrm = jnp.linalg.norm(diff, axis=1)
+        cos_a = jnp.sum(diff * dirs, axis=1) / jnp.maximum(nrm, 1e-9)
+        we = (cos_a >= 0.0).astype(jnp.float32)
+        return solve(we, x), None
+
+    x0 = solve(jnp.ones_like(w), jnp.zeros((n_views, 3)))
+    x, _ = jax.lax.scan(flip_round, x0, None, length=irls_iters)
     return x + C_fixed
 
 
@@ -332,9 +353,18 @@ class GlobalEngine:
             min_tri_angle_deg=cfg.min_tri_angle_deg,
             max_views_per_track=cfg.max_views_per_track,
         )
+        # Alternate triangulation and global BA: the averaged-translation
+        # init on weakly conditioned (chain-like) graphs can be off enough
+        # that a single triangulation pass only admits the best-placed
+        # tracks; each BA round tightens the centers and lets the next
+        # triangulation admit more structure (measured 138 -> ~300 points
+        # on a contiguous-window chain).
+        for _ in range(3):
+            inc.triangulate_new()
+            inc.wash_outliers()
+            inc.run_ba(cfg.ba_iters)
+            inc.wash_outliers()
         inc.triangulate_new()
-        inc.wash_outliers()
-        inc.run_ba(cfg.ba_iters)
         inc.wash_outliers()
         inc.run_ba(max(cfg.ba_iters // 3, 5))
         self.progress("reconstruction", 1.0)
