@@ -183,6 +183,32 @@ def _obs_jacobians(pose_o, intr_o, X_o, uv_o, refine: bool):
     return r, Jc, (Jg if refine else None), Jp
 
 
+def _prior_terms(ps, prior_pos, prior_w):
+    """Soft camera-center prior residuals r_c = sqrt(w_c) (C(pose_c) - p_c)
+    (GPS pose priors: the reference attaches ViewPriors to views before SfM,
+    src/sparseBuilder/sparseBuilder.cpp:112-171, 506-533; here they enter the
+    BA normal equations directly).  Returns additive (dHcc (C,6,6),
+    dgc (C,6), dcost) — camera-side only, so the Schur structure is
+    untouched.  prior_w (C,) is the per-camera weight (1/sigma^2 from the
+    EXIF accuracy); 0 disables a camera's prior."""
+    aa = ps[:, :3]
+    t = ps[:, 3:6]
+    R = lie.so3_exp(aa)
+    Jr = lie.so3_right_jacobian(aa)
+    Cc = -jnp.einsum("cji,cj->ci", R, t)  # camera centers
+    r = Cc - prior_pos
+    # dC/daa = [C]x Jr  (right-Jacobian convention, see core/lie.py);
+    # dC/dt = -R^T.
+    J = jnp.concatenate(
+        [jnp.einsum("cij,cjk->cik", lie.hat(Cc), Jr),
+         -jnp.transpose(R, (0, 2, 1))], axis=2)  # (C, 3, 6)
+    w = prior_w[:, None, None]
+    dH = w * jnp.einsum("cki,ckj->cij", J, J)
+    dg = prior_w[:, None] * jnp.einsum("cki,ck->ci", J, r)
+    dcost = 0.5 * jnp.sum(prior_w * jnp.sum(r * r, axis=-1))
+    return dH, dg, dcost
+
+
 def _huber_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
     """IRLS weight sqrt(rho'(s)) for the Huber loss on the residual norm:
     w = 1 inside delta, delta/||r|| outside. (O,)"""
@@ -470,7 +496,7 @@ def _schur_diag_pose(Hcc_d, Hpp_inv, Wc, obs_cam, obs_pt, C, cfg, axis_name=None
 
 def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
                cam_group, obs_cam, obs_grp, obs_pt, obs_uv, obs_w,
-               C, G, cfg: BAConfig):
+               C, G, cfg: BAConfig, prior_pos=None, prior_w=None):
     """LM loop where every obs-table SCATTER (assembly, Schur matvec,
     preconditioner) runs on the MXU one-hot kernels (ops/obs_table.py).
 
@@ -621,6 +647,11 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             sys["Wc"] = jnp.einsum("oki,okj->oij", Jc, Jp).reshape(-1, D * 3)
             if refine:
                 sys["Wg"] = jnp.einsum("oki,okj->oij", Jg, Jp).reshape(-1, E * 3)
+        if prior_pos is not None:
+            dH, dg, dcost = _prior_terms(ps, prior_pos, prior_w)
+            sys["Hcc"] = sys["Hcc"] + dH
+            sys["gc"] = sys["gc"] + dg
+            cost = cost + dcost
         return sys, cost
 
     def solve(sys, lam):
@@ -787,6 +818,12 @@ def bundle_adjust(
                                            # sparseBuilder.cpp:554-556);
                                            # None = one group per camera
     n_groups: int | None = None,           # static group count; None = C
+    prior_pos: jnp.ndarray | None = None,  # (C, 3) soft camera-center priors
+                                           # (GPS, reconstruction frame —
+                                           # ViewPriors parity,
+                                           # sparseBuilder.cpp:506-533)
+    prior_weight: jnp.ndarray | None = None,  # (C,) weights (1/sigma^2);
+                                              # 0/None disables
 ):
     """Run LM bundle adjustment. Returns (intr, cam_rot, cam_t, points, info)
     where info = {'initial_cost', 'final_cost', 'iterations', 'lambda'}
@@ -831,6 +868,11 @@ def bundle_adjust(
     grp_w = _maybe_psum(jax.ops.segment_sum(obs_w, obs_grp, G), cfg.axis_name)
     upd_g = (grp_w > 0).astype(jnp.float32)[:, None] * refine_m[None, :]
 
+    prior_w = None
+    if prior_pos is not None:
+        prior_w = (jnp.ones(C) if prior_weight is None
+                   else prior_weight) * cam_mask.astype(jnp.float32)
+
     pose0 = jnp.concatenate([cam_rot, cam_t], axis=-1)
     D, E = POSE_DIM, INTR_DIM
 
@@ -839,6 +881,7 @@ def bundle_adjust(
         ps, gi, pts, lam, init_cost, final_cost, n_it = _lm_pallas(
             pose0, gintr, points, refine_m, upd_c, upd_g, pt_upd, cam_group,
             obs_cam, obs_grp, obs_pt, obs_uv, obs_w, C, G, cfg,
+            prior_pos=prior_pos, prior_w=prior_w,
         )
         intr_out = gi[cam_group]
         info = {
@@ -863,6 +906,12 @@ def bundle_adjust(
         acc["Wc"] = Wc
         if refine:
             acc["Wg"] = Wg
+        if prior_pos is not None:
+            # Replicated, added AFTER the psum — identical on every shard.
+            dH, dg, dcost = _prior_terms(ps, prior_pos, prior_w)
+            acc["Hcc"] = acc["Hcc"] + dH
+            acc["gc"] = acc["gc"] + dg
+            cost = cost + dcost
         return acc, cost
 
     def solve(sys, lam):

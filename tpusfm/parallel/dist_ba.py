@@ -34,6 +34,8 @@ def bundle_adjust_sharded(
     cam_free_mask=None,
     cam_group=None,
     n_groups: int | None = None,
+    prior_pos=None,
+    prior_weight=None,
     axis: str = "shard",
 ):
     """Same contract as ba.bundle_adjust; the observation arrays are sharded
@@ -50,6 +52,13 @@ def bundle_adjust_sharded(
     if cam_group is None:
         cam_group = jnp.arange(intr.shape[0], dtype=jnp.int32)
         n_groups = intr.shape[0]
+    has_prior = prior_pos is not None
+    if has_prior and prior_weight is None:
+        prior_weight = jnp.ones(intr.shape[0], jnp.float32)
+    if not has_prior:
+        # Dummies keep the shard_map signature static; weight 0 disables.
+        prior_pos = jnp.zeros((intr.shape[0], 3), jnp.float32)
+        prior_weight = jnp.zeros(intr.shape[0], jnp.float32)
 
     @partial(
         shard_map,
@@ -58,7 +67,7 @@ def bundle_adjust_sharded(
             P(), P(), P(), P(),       # cameras replicated
             P(), P(),                 # points replicated
             P(axis), P(axis), P(axis), P(axis),  # observations sharded
-            P(), P(),
+            P(), P(), P(), P(),       # free/group + GPS priors (replicated)
         ),
         out_specs=(P(), P(), P(), P(), P()),
         # The pallas obs-table kernels can't annotate their out_shapes with
@@ -67,16 +76,18 @@ def bundle_adjust_sharded(
         check_vma=False,
     )
     def _run(intr, rot, t, cmask, pts, pmask, ocam, opt, ouv, omask, freem,
-             cgrp):
+             cgrp, ppos, pw):
         intr2, rot2, t2, pts2, info = ba.bundle_adjust(
             intr, rot, t, cmask, pts, pmask, ocam, opt, ouv, omask,
             cfg=cfg, cam_free_mask=freem, cam_group=cgrp, n_groups=n_groups,
+            prior_pos=ppos, prior_weight=pw,
         )
         return intr2, rot2, t2, pts2, info
 
     return jax.jit(_run)(
         intr, cam_rot, cam_t, cam_mask, points, point_mask,
         obs_cam, obs_pt, obs_uv, obs_mask, free, cam_group,
+        prior_pos, prior_weight,
     )
 
 

@@ -233,6 +233,13 @@ class StagedPipeline:
 
             try:
                 scene, geo_info = geo.georegister_scene(scene, gps_list)
+                # GPS priors DURING BA (ViewPriors parity,
+                # sparseBuilder.cpp:506-533): re-optimize with soft
+                # camera-center priors at the fixes — bounds drift instead
+                # of only rotating/scaling it away.
+                scene, prior_info = geo.gps_prior_ba(scene, gps_list)
+                if prior_info is not None:
+                    geo_info = {**geo_info, "prior_ba": prior_info}
                 self.progress("sparse", 0.95, geo_rms_m=geo_info["rms_m"])
             except ValueError as e:
                 self.progress("sparse", 0.95, warning=f"geo-registration: {e}")

@@ -88,3 +88,51 @@ def georegister_scene(scene, gps_list):
         "rms_m": float(np.sqrt((resid ** 2).sum(axis=1).mean())),
         "ref_lla": tuple(ref),
     }
+
+
+def gps_prior_ba(scene, gps_list, sigma_m: float = 3.0, max_iters: int = 60):
+    """GPS as soft priors DURING bundle adjustment (ViewPriors parity,
+    src/sparseBuilder/sparseBuilder.cpp:112-171, 506-533): after
+    georegister_scene has similarity-aligned the reconstruction into the
+    ENU frame, re-run BA with soft camera-center prior residuals at the GPS
+    fixes (weight 1/sigma_m^2, from the fix accuracy).  Unlike the post-hoc
+    alignment alone, the priors constrain the OPTIMIZATION, bounding
+    low-frequency drift on long weak-overlap sequences.  Returns
+    (refined scene, info | None)."""
+    import jax.numpy as jnp
+
+    from ..ba import bundle_adjust as ba
+
+    reg = np.asarray(scene.cam_mask)
+    have = [i for i, g in enumerate(gps_list) if g is not None and reg[i]]
+    if len(have) < 3:
+        return scene, None
+    ref = gps_list[have[0]]
+    enu = lla_to_enu(
+        [gps_list[i][0] for i in have],
+        [gps_list[i][1] for i in have],
+        [gps_list[i][2] for i in have],
+        ref,
+    )
+    C = scene.intr.shape[0]
+    prior = np.zeros((C, 3), np.float32)
+    w = np.zeros(C, np.float32)
+    prior[have] = np.asarray(enu, np.float32)
+    w[have] = 1.0 / max(sigma_m, 1e-3) ** 2
+    # Priors pin the gauge (position + scale), so the first camera unfreezes.
+    cfg = ba.BAConfig(max_iters=max_iters, cg_iters=100, fix_first_cam=False,
+                      converge_rtol=1e-8)
+    intr, rot, t, pts, info = ba.bundle_adjust(
+        scene.intr, scene.cam_rot, scene.cam_t, scene.cam_mask,
+        scene.points, scene.point_mask, scene.obs_cam, scene.obs_pt,
+        scene.obs_uv, scene.obs_mask, cfg=cfg,
+        prior_pos=jnp.asarray(prior), prior_weight=jnp.asarray(w),
+    )
+    out = scene.replace(intr=intr, cam_rot=rot, cam_t=t, points=pts)
+    resid = np.asarray(out.camera_centers())[have] - np.asarray(enu)
+    return out, {
+        "n_gps": len(have),
+        "sigma_m": sigma_m,
+        "rms_m": float(np.sqrt((resid ** 2).sum(axis=1).mean())),
+        "ba_final_cost": float(info["final_cost"]),
+    }
