@@ -141,10 +141,25 @@ class BAConfig:
                                    # [+ (P, G, 7, 3)] tables: W plus the
                                    # intermediate A = W @ Hpp_inv)
 
-    def refine_mask(self) -> tuple[float, ...]:
+    # Camera model for the reprojection residual (intrinsic factory parity,
+    # src/sparseBuilder/sparseBuilder.cpp:484-497): "auto" dispatches on the
+    # intrinsic width (7 = RADIAL3, 9 = Brown-T2); "fisheye" / "spherical"
+    # must be named.  Non-RADIAL3 models run the jacfwd assembly (the fused
+    # pallas kernel is closed-form RADIAL3).
+    camera_model: str = "auto"
+
+    def refine_mask(self, e: int = INTR_DIM) -> tuple[float, ...]:
         if not self.refine_intrinsics:
-            return (0.0,) * INTR_DIM
-        return _REFINE_MASKS[self.refine_params]
+            return (0.0,) * e
+        if self.refine_params in ("focal", "focal_pp"):
+            n = 2 if self.refine_params == "focal" else 4
+            return tuple(1.0 if i < n else 0.0 for i in range(e))
+        # "all": every lane the model actually uses.
+        if self.camera_model == "fisheye":
+            return tuple(1.0 if i < 8 else 0.0 for i in range(e))
+        if self.camera_model == "spherical":
+            return tuple(1.0 if i < 4 else 0.0 for i in range(e))
+        return (1.0,) * e
 
     def use_pallas(self) -> bool:
         if self.impl == "pallas":
@@ -158,25 +173,27 @@ class BAConfig:
 # Residuals and Jacobians
 # ---------------------------------------------------------------------------
 
-def _residual_one(pose, intr, X, uv):
+def _residual_one(pose, intr, X, uv, model: str = "auto"):
     """Reprojection residual for one observation: pose = [aa(3), t(3)],
-    intr = [fx,fy,cx,cy,k1,k2,k3] (the full RADIAL3 vector — distortion is
-    live in the projection, so refining k1..k3 is just a wider Jacobian)."""
+    intr = the RADIAL3 7-vector or Brown-T2 9-vector (or fisheye/spherical
+    with an explicit model) — distortion is live in the projection, so
+    refining the distortion lanes is just a wider Jacobian."""
     Xc = lie.rotate_aa(pose[:3], X) + pose[3:6]
-    return cam.camera_to_pixel(intr, Xc) - uv
+    return cam.camera_to_pixel(intr, Xc, model=model) - uv
 
 
-def _obs_jacobians(pose_o, intr_o, X_o, uv_o, refine: bool):
+def _obs_jacobians(pose_o, intr_o, X_o, uv_o, refine: bool,
+                   model: str = "auto"):
     """Per-observation residual + Jacobians, vmapped over the obs table.
-    Returns r (O, 2), Jc (O, 2, 6), Jg (O, 2, 7) | None, Jp (O, 2, 3)."""
+    Returns r (O, 2), Jc (O, 2, 6), Jg (O, 2, E) | None, Jp (O, 2, 3)."""
     def per_obs(ps, gi, X, uv):
-        r = _residual_one(ps, gi, X, uv)
-        Jc = jax.jacfwd(lambda p: _residual_one(p, gi, X, uv))(ps)
-        Jp = jax.jacfwd(lambda x: _residual_one(ps, gi, x, uv))(X)
+        r = _residual_one(ps, gi, X, uv, model)
+        Jc = jax.jacfwd(lambda p: _residual_one(p, gi, X, uv, model))(ps)
+        Jp = jax.jacfwd(lambda x: _residual_one(ps, gi, x, uv, model))(X)
         if refine:
-            Jg = jax.jacfwd(lambda g: _residual_one(ps, g, X, uv))(gi)
+            Jg = jax.jacfwd(lambda g: _residual_one(ps, g, X, uv, model))(gi)
         else:
-            Jg = jnp.zeros((2, INTR_DIM), ps.dtype)
+            Jg = jnp.zeros((2, intr_o.shape[-1]), ps.dtype)
         return r, Jc, Jg, Jp
 
     r, Jc, Jg, Jp = jax.vmap(per_obs)(pose_o, intr_o, X_o, uv_o)
@@ -317,7 +334,7 @@ def _build_system(pose, gintr, points, refine_m, obs_cam, obs_grp, obs_pt,
     (b) the coupling blocks persist flattened as (O, D*3) (lane dim D*3
     instead of 3), cutting the resident footprint ~8x."""
     P = points.shape[0]
-    D, E = POSE_DIM, INTR_DIM
+    D, E = POSE_DIM, gintr.shape[-1]
     O = obs_cam.shape[0]
     refine = cfg.refine_intrinsics
     ax = cfg.axis_name
@@ -332,7 +349,8 @@ def _build_system(pose, gintr, points, refine_m, obs_cam, obs_grp, obs_pt,
         pose_o = pose[ocam]
         intr_o = gintr[ogrp]
         X_o = points[opt]
-        r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, ouv, refine)
+        r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, ouv, refine,
+                                       cfg.camera_model)
         w = (_huber_weight(r, cfg.huber_delta) * ow)[:, None]
         cost = robust_cost(r, ow, cfg.huber_delta)
         r = r * w
@@ -395,7 +413,7 @@ def _dense_schur_solve(Hcc_d, Hgg_d, Hcg, Hpp_inv, Wc3, Wg3,
     solve by Cholesky.  Exact (no CG truncation) and a single small
     factorization — the fast path for step-BAs with few cameras.
 
-    Per-point coupling is gathered into (P, C, 6, 3) / (P, G, 7, 3) tables
+    Per-point coupling is gathered into (P, C, 6, 3) / (P, G, E, 3) tables
     with one segment-sum over linearized (point, block) ids; the
     off-diagonal Schur blocks are then batched einsum contractions on the
     MXU.
@@ -405,7 +423,8 @@ def _dense_schur_solve(Hcc_d, Hgg_d, Hcg, Hpp_inv, Wc3, Wg3,
     cross-shard coupling term W_p* Hpp^-1 W_p*^T where two observations of
     point p live on different devices (S is quadratic in W, so psum-ing
     the contracted blocks after would be wrong)."""
-    D, E = POSE_DIM, INTR_DIM
+    D = POSE_DIM
+    E = Hgg_d.shape[-1] if refine else INTR_DIM
     P = Hpp_inv.shape[0]
     lin_c = obs_pt * C + obs_cam
     Wcp = jax.ops.segment_sum(Wc3.reshape(-1, D * 3), lin_c, P * C)
@@ -510,7 +529,7 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
     from ..ops import obs_table as ot
 
     P = points.shape[0]
-    D, E = POSE_DIM, INTR_DIM
+    D, E = POSE_DIM, gintr0.shape[-1]
     refine = cfg.refine_intrinsics
     itp = cfg.pallas_interpret
     ax = cfg.axis_name
@@ -525,8 +544,11 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
     obs_w = obs_w[order]
     rank_scatter_ids = jnp.where(rank_valid, rank_to_pt, P)
     safe_r2p = jnp.minimum(rank_to_pt, P - 1)
-    # Fused linearization kernel holds the camera/group tables in VMEM.
-    fused = cfg.fused_linearize and C <= 2048 and G <= 2048
+    # Fused linearization kernel holds the camera/group tables in VMEM;
+    # its closed-form Jacobians are RADIAL3 — other camera models take the
+    # jacfwd branch.
+    fused = (cfg.fused_linearize and C <= 2048 and G <= 2048
+             and E == INTR_DIM and cfg.camera_model in ("auto", "radial3"))
 
     def _gather(table, idx):
         n = table.shape[0]
@@ -605,7 +627,8 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             pose_o = _gather(ps, obs_cam)
             intr_o = _gather(gi, obs_grp)
             X_o = _gather_pts(pts)
-            r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, obs_uv, refine)
+            r, Jc, Jg, Jp = _obs_jacobians(pose_o, intr_o, X_o, obs_uv,
+                                           refine, cfg.camera_model)
             cost = _maybe_psum(robust_cost(r, obs_w, cfg.huber_delta), ax)
             w = (_huber_weight(r, cfg.huber_delta) * obs_w)[:, None]
             r = r * w
@@ -841,8 +864,9 @@ def bundle_adjust(
         G = int(n_groups) if n_groups is not None else C
     # Group intrinsic table: scatter per-camera rows (all rows of a group are
     # required identical, so last-write-wins is exact).
-    gintr = jnp.zeros((G, INTR_DIM), intr.dtype).at[cam_group].set(intr)
-    refine_m = jnp.asarray(cfg.refine_mask(), intr.dtype)
+    E_in = intr.shape[-1]
+    gintr = jnp.zeros((G, E_in), intr.dtype).at[cam_group].set(intr)
+    refine_m = jnp.asarray(cfg.refine_mask(E_in), intr.dtype)
 
     # Pad the obs table so the assembly chunk size divides it exactly
     # (padded rows have zero weight — harmless everywhere).
@@ -874,7 +898,7 @@ def bundle_adjust(
                    else prior_weight) * cam_mask.astype(jnp.float32)
 
     pose0 = jnp.concatenate([cam_rot, cam_t], axis=-1)
-    D, E = POSE_DIM, INTR_DIM
+    D, E = POSE_DIM, E_in
 
     dense_ok = _dense_eligible(C, G, P, cfg)
     if cfg.impl == "pallas" or (cfg.use_pallas() and not dense_ok):

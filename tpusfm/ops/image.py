@@ -153,7 +153,7 @@ def to_grayscale(images: jnp.ndarray) -> jnp.ndarray:
 
 
 def undistort_image(image: jnp.ndarray, intr: jnp.ndarray,
-                    fill: float = 0.0) -> jnp.ndarray:
+                    fill: float = 0.0, model: str = "auto") -> jnp.ndarray:
     """Resample a captured (distorted) image onto the ideal pinhole grid.
 
     The dense stage consumes ideal-pinhole images, like the reference's
@@ -162,8 +162,10 @@ def undistort_image(image: jnp.ndarray, intr: jnp.ndarray,
     position of p's ideal ray: src = K * distort(K^-1 p) — forward radial
     distortion, so no iterative inversion is needed in the remap.
 
-    image: (H, W) or (H, W, C) float; intr: (7,) fx fy cx cy k1 k2 k3.
-    Out-of-bounds samples get `fill`.
+    image: (H, W) or (H, W, C) float; intr: (7,) fx fy cx cy k1 k2 k3 or
+    (9,) Brown [.. t1 t2] / fisheye [.. k1..k4 0] per `model` (the camera
+    factory parity dispatch, core.camera._resolve_model).  Out-of-bounds
+    samples get `fill`.
     """
     from ..core import camera as _cam
 
@@ -175,7 +177,18 @@ def undistort_image(image: jnp.ndarray, intr: jnp.ndarray,
     f = jnp.stack([intr[0], intr[1]])
     c = jnp.stack([intr[2], intr[3]])
     xn = (jnp.stack([xs, ys], axis=-1) - c) / f          # ideal normalized
-    src = _cam.distort_radial(intr, xn) * f + c          # captured pixels
+    m = _cam._resolve_model(intr, model)
+    if m == "fisheye":
+        from ..core import distortion as _dist
+
+        xd = _dist.distort_fisheye(intr[4:8], xn)
+    elif m == "brown":
+        from ..core import distortion as _dist
+
+        xd = _dist.distort_brown(intr[4:9], xn)
+    else:
+        xd = _cam.distort_radial(intr, xn)
+    src = xd * f + c                                     # captured pixels
     sx, sy = src[..., 0], src[..., 1]
     # Half-pixel tolerance: float round-trip puts exact border pixels at
     # +-1e-6, and any source within half a pixel of the frame still has a

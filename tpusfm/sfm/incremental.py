@@ -84,13 +84,18 @@ def _np_pixel_to_normal(intr: np.ndarray, uv: np.ndarray, iters: int = 8) -> np.
     f = intr[..., :2]
     c = intr[..., 2:4]
     k = intr[..., 4:7]
+    t = intr[..., 7:9] if intr.shape[-1] >= 9 else np.zeros_like(intr[..., :2])
     xd = (np.asarray(uv, np.float64) - c) / f
     xn = xd.copy()
-    if np.any(k != 0):
+    if np.any(k != 0) or np.any(t != 0):
         for _ in range(iters):
             r2 = np.sum(xn * xn, axis=-1, keepdims=True)
             scale = 1.0 + r2 * (k[..., 0:1] + r2 * (k[..., 1:2] + r2 * k[..., 2:3]))
-            xn = xd / np.maximum(scale, 1e-8)
+            x, y = xn[..., 0:1], xn[..., 1:2]
+            # Brown tangential terms (zero for the RADIAL3 7-vector).
+            dx = 2 * t[..., 0:1] * x * y + t[..., 1:2] * (r2 + 2 * x * x)
+            dy = t[..., 0:1] * (r2 + 2 * y * y) + 2 * t[..., 1:2] * x * y
+            xn = (xd - np.concatenate([dx, dy], -1)) / np.maximum(scale, 1e-8)
     return xn.astype(np.float32)
 
 
