@@ -88,3 +88,78 @@ def _tsdf(depths, K, gt):
         jnp.asarray(origin), np.float32(voxel), np.float32(3 * voxel), 64,
     )
     return np.asarray(tsdf), np.asarray(w) >= 1.0, origin, voxel
+
+
+def test_photometric_refine_beats_depth_only():
+    """Photometric RefineMesh parity (round-2 verdict 8; OpenMVS RefineMesh,
+    src/main.cpp:184-185): starting from a mesh built on NOISY depth maps,
+    the image-consistency refinement must reduce both the photoconsistency
+    cost and the geometry error vs ground truth BEYOND what the depth-only
+    refiner can do (the depth-only refiner can only reproduce the noisy
+    depths; the images carry the clean signal)."""
+    import jax.numpy as jnp
+    from tpusfm.dense import meshing
+    from tpusfm.utils.synth_render import render_orbit_images
+
+    images, gt = render_orbit_images(
+        n_views=5, img_h=144, img_w=192, focal=0.8 * 192, arc_deg=40.0, seed=4)
+    V = len(images)
+    f = float(gt["intr"][0])
+    K = np.array([[f, 0, gt["intr"][2]], [0, f, gt["intr"][3]], [0, 0, 1]],
+                 np.float32)
+    R, t = gt["R"].astype(np.float32), gt["t"].astype(np.float32)
+    rng = np.random.default_rng(0)
+    depth_gt = gt["depth"].copy()
+    valid = np.isfinite(depth_gt) & (depth_gt < 50)
+    depth_gt[~valid] = 0.0
+    # 6% depth noise: poor depth maps but informative images — the regime
+    # where photoconsistency carries extra signal.  (At ~1.5% noise the
+    # depth-refined mesh already sits at the stereo sub-pixel limit of the
+    # same images, and the photometric term cannot beat it — measured.)
+    depths = depth_gt * (1.0 + rng.normal(scale=0.06, size=depth_gt.shape))
+    depths = (depths * valid).astype(np.float32)
+
+    verts, faces, _ = meshing.mesh_from_depths(
+        depths, valid, K, R, t, cfg=meshing.MeshConfig(grid=72))
+    assert len(verts) > 500
+
+    def surf_err(v_arr):
+        """Median |z - z_gt| / z_gt of vertices projected into each view."""
+        errs = []
+        for vi in range(V):
+            Xc = v_arr @ R[vi].T + t[vi]
+            z = Xc[:, 2]
+            u = np.round(Xc[:, 0] / np.maximum(z, 1e-9) * f + K[0, 2]).astype(int)
+            w_ = np.round(Xc[:, 1] / np.maximum(z, 1e-9) * f + K[1, 2]).astype(int)
+            inb = (z > 0.1) & (u >= 0) & (u < 192) & (w_ >= 0) & (w_ < 144)
+            zg = depth_gt[vi][w_[inb], u[inb]]
+            fin = zg > 0
+            errs.append(np.abs(z[inb][fin] - zg[fin]) / zg[fin])
+        return float(np.median(np.concatenate(errs)))
+
+    def photo_cost(v_arr):
+        """Mean photoconsistency at the current vertices (s = 0 sweep)."""
+        s0, c0, m0 = meshing._photo_sweep(
+            jnp.asarray(v_arr, jnp.float32),
+            jnp.asarray(np.tile([0, 0, 1.0], (len(v_arr), 1)), jnp.float32),
+            jnp.asarray(np.tile([1.0, 0, 0], (len(v_arr), 1)), jnp.float32),
+            jnp.asarray(np.tile([0, 1.0, 0], (len(v_arr), 1)), jnp.float32),
+            jnp.asarray(np.tile(np.arange(4), (len(v_arr), 1)).astype(np.int32)),
+            jnp.ones((len(v_arr), 4), jnp.float32),
+            jnp.asarray(images), jnp.asarray(np.tile(K, (V, 1, 1))),
+            jnp.asarray(R), jnp.asarray(t), jnp.float32(0.0),
+            jnp.float32(0.05), 1)
+        c = np.asarray(c0)
+        return float(np.mean(c[c < 2.0]))
+
+    v_depth = meshing.refine_mesh(verts, faces, depths, valid, K, R, t)
+    v_photo = meshing.refine_mesh_photometric(
+        v_depth, faces, images, K, R, t, depths, valid, iters=6,
+        step_frac=1.0)
+
+    e_init, e_depth, e_photo = surf_err(verts), surf_err(v_depth), surf_err(v_photo)
+    p_depth, p_photo = photo_cost(v_depth), photo_cost(v_photo)
+    # Geometry error drops vs the depth-only refiner...
+    assert e_photo < 0.85 * e_depth, (e_init, e_depth, e_photo)
+    # ...and reprojection photoconsistency improves.
+    assert p_photo < p_depth, (p_depth, p_photo)

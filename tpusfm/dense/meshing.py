@@ -309,6 +309,183 @@ def refine_mesh(verts, faces, depths, valid, K, R, t, iters: int = 10,
     return verts.astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("n_steps",))
+def _photo_sweep(X, nrm, tan1, tan2, vidx, vweight, images, Ks, Rs, ts,
+                 step_scale, patch_scale, n_steps: int):
+    """Photoconsistency line search along vertex normals (jitted core of
+    refine_mesh_photometric).
+
+    For each vertex and each of n_steps displacements s along its normal, a
+    3x3 tangent-plane patch (world spacing patch_scale) is projected into
+    the vertex's M selected views, bilinearly sampled, per-view normalized,
+    and scored by mean pairwise NCC.  Returns (best_s (N,), best_cost (N,),
+    n_valid_views (N,)) with parabolic sub-step refinement."""
+    N = X.shape[0]
+    M = vidx.shape[1]
+    V, H, W = images.shape
+    ab = jnp.asarray([(a, b) for a in (-1.0, 0.0, 1.0) for b in (-1.0, 0.0, 1.0)],
+                     jnp.float32)  # (9, 2)
+    steps = (jnp.arange(n_steps, dtype=jnp.float32) - (n_steps - 1) / 2) \
+        * (2.0 / max(n_steps - 1, 1)) * step_scale  # (S,) in [-h, h]
+
+    Kv = Ks[vidx]      # (N, M, 3, 3)
+    Rv = Rs[vidx]      # (N, M, 3, 3)
+    tv = ts[vidx]      # (N, M, 3)
+
+    def cost_at(s):
+        Xs = X + s * nrm  # (N, 3)
+        P = (Xs[:, None, :] + patch_scale
+             * (ab[None, :, 0:1] * tan1[:, None, :]
+                + ab[None, :, 1:2] * tan2[:, None, :]))  # (N, 9, 3)
+        Xc = jnp.einsum("nmij,npj->nmpi", Rv, P) + tv[:, :, None, :]  # (N,M,9,3)
+        z = Xc[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        u = Xc[..., 0] / zs * Kv[:, :, None, 0, 0] + Kv[:, :, None, 0, 2]
+        v = Xc[..., 1] / zs * Kv[:, :, None, 1, 1] + Kv[:, :, None, 1, 2]
+        inb = ((u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)
+               & (z > 1e-3)).all(axis=2)  # (N, M) whole patch in bounds
+        yi = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, H - 2)
+        xi = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, W - 2)
+        fy = jnp.clip(v - yi, 0.0, 1.0)
+        fx = jnp.clip(u - xi, 0.0, 1.0)
+
+        def g(dy, dx):
+            return images[vidx[:, :, None], yi + dy, xi + dx]  # (N, M, 9)
+
+        patch = (g(0, 0) * (1 - fy) * (1 - fx) + g(0, 1) * (1 - fy) * fx
+                 + g(1, 0) * fy * (1 - fx) + g(1, 1) * fy * fx)  # (N, M, 9)
+        ok = inb.astype(jnp.float32) * vweight  # (N, M)
+        mu = patch.mean(axis=2, keepdims=True)
+        pz = patch - mu
+        sig = jnp.sqrt(jnp.maximum((pz * pz).mean(axis=2), 1e-8))
+        pn = pz / jnp.maximum(sig[..., None], 1e-4)  # unit-ish patches
+        pn = pn * ok[..., None]
+        m_eff = jnp.sum(ok, axis=1)  # (N,)
+        # Mean pairwise correlation: (|sum_m p|^2 - sum_m |p|^2) / (9 m(m-1))
+        ssum = jnp.sum(pn, axis=1)  # (N, 9)
+        tot = jnp.sum(ssum * ssum, axis=1)
+        per = jnp.sum(pn * pn, axis=(1, 2))
+        denom = jnp.maximum(m_eff * (m_eff - 1.0), 1e-6) * 9.0
+        ncc = (tot - per) / denom
+        valid = m_eff >= 2.0
+        return jnp.where(valid, 1.0 - jnp.clip(ncc, -1.0, 1.0), 2.0), m_eff
+
+    costs, m_eff = jax.lax.map(lambda s: cost_at(s), steps)  # (S, N)
+    m_eff = m_eff[0]
+    best = jnp.argmin(costs, axis=0)
+    bm = jnp.clip(best, 1, n_steps - 2)
+    c0 = jnp.take_along_axis(costs, (bm - 1)[None], axis=0)[0]
+    c1 = jnp.take_along_axis(costs, bm[None], axis=0)[0]
+    c2 = jnp.take_along_axis(costs, (bm + 1)[None], axis=0)[0]
+    den = c0 - 2 * c1 + c2
+    delta = jnp.where(jnp.abs(den) > 1e-9, 0.5 * (c0 - c2) / den, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    ds = steps[1] - steps[0]
+    s_star = steps[bm] + delta * ds
+    best_cost = jnp.min(costs, axis=0)
+    return s_star, best_cost, m_eff
+
+
+def refine_mesh_photometric(verts, faces, images, K, R, t, depths, valid,
+                            iters: int = 4, n_steps: int = 9,
+                            step_frac: float = 1.5, patch_frac: float = 2.0,
+                            smooth: float = 0.25, tol: float = 0.08,
+                            max_cost: float = 0.7, n_views: int = 4):
+    """Photometric mesh refinement (OpenMVS ``RefineMesh`` parity — the
+    photo-consistency pass the reference spawns at src/main.cpp:184-185,
+    which the round-2 depth-fit refiner lacked).
+
+    Each iteration: (1) vertex normals + tangent frames from the faces,
+    (2) per-vertex visibility from the depth maps (depth-consistent views
+    only, like refine_mesh), (3) a jitted line search along each vertex
+    normal maximizing mean pairwise NCC of a 3x3 tangent-plane patch
+    across the vertex's views (_photo_sweep), (4) umbrella Laplacian
+    smoothing.  Search extent and patch spacing scale with the local mean
+    edge length (step_frac / patch_frac edge lengths).
+
+    Returns refined verts (Nv, 3) float32."""
+    verts = np.asarray(verts, np.float64).copy()
+    faces = np.asarray(faces)
+    if len(verts) == 0 or len(faces) == 0:
+        return verts.astype(np.float32)
+    images = np.asarray(images, np.float32)
+    depths = np.asarray(depths) * np.asarray(valid)
+    Vn, Hh, Ww = depths.shape
+    K = np.broadcast_to(np.asarray(K, np.float32), (Vn, 3, 3))
+    R = np.asarray(R, np.float32)
+    t = np.asarray(t, np.float32)
+
+    nbr_sum_idx = np.concatenate([
+        faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]],
+        faces[:, [1, 0]], faces[:, [2, 1]], faces[:, [0, 2]],
+    ])
+    edge_len = float(np.median(np.linalg.norm(
+        verts[faces[:, 0]] - verts[faces[:, 1]], axis=1)))
+
+    for _ in range(iters):
+        # Vertex normals (area-weighted face normals).  Marching-tetrahedra
+        # windings are UNORIENTED (measured ~50/50 on the synthetic room),
+        # so unoriented face normals cancel in the vertex sum and the line
+        # search runs along a near-random axis — orient every face normal
+        # toward the nearest camera center first.
+        fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                      verts[faces[:, 2]] - verts[faces[:, 0]])
+        centers_all = -np.einsum("vji,vj->vi", R, t)  # camera centers
+        fcen = verts[faces].mean(axis=1)
+        d2 = ((fcen[:, None, :] - centers_all[None, :, :]) ** 2).sum(-1)
+        near = centers_all[np.argmin(d2, axis=1)]
+        flip = np.sum(fn * (near - fcen), axis=1) < 0
+        fn[flip] *= -1.0
+        vn = np.zeros_like(verts)
+        for k in range(3):
+            np.add.at(vn, faces[:, k], fn)
+        nl = np.linalg.norm(vn, axis=1, keepdims=True)
+        vn = vn / np.maximum(nl, 1e-12)
+        # Tangent frame.
+        ref = np.where(np.abs(vn[:, 2:3]) < 0.9,
+                       np.array([0.0, 0, 1]), np.array([1.0, 0, 0]))
+        t1 = np.cross(vn, ref)
+        t1 /= np.maximum(np.linalg.norm(t1, axis=1, keepdims=True), 1e-12)
+        t2 = np.cross(vn, t1)
+
+        # Visibility: depth-consistent views per vertex, strongest n_views.
+        vis_w = np.zeros((len(verts), Vn), np.float32)
+        for v in range(Vn):
+            Xc = verts @ R[v].T + t[v]
+            z = Xc[:, 2]
+            u = Xc[:, 0] / np.maximum(z, 1e-9) * K[v, 0, 0] + K[v, 0, 2]
+            w_ = Xc[:, 1] / np.maximum(z, 1e-9) * K[v, 1, 1] + K[v, 1, 2]
+            ui = np.round(u).astype(int)
+            vi = np.round(w_).astype(int)
+            inb = (z > 0) & (ui >= 0) & (ui < Ww) & (vi >= 0) & (vi < Hh)
+            d = np.zeros(len(verts))
+            d[inb] = depths[v][vi[inb], ui[inb]]
+            ok = inb & (d > 0) & (np.abs(d - z) < tol * np.maximum(z, 1e-9))
+            vis_w[ok, v] = 1.0
+        order = np.argsort(-vis_w, axis=1)[:, :n_views]
+        vidx = order.astype(np.int32)
+        vweight = np.take_along_axis(vis_w, order, axis=1)
+
+        s_star, best_cost, m_eff = jax.device_get(_photo_sweep(
+            jnp.asarray(verts, jnp.float32), jnp.asarray(vn, jnp.float32),
+            jnp.asarray(t1, jnp.float32), jnp.asarray(t2, jnp.float32),
+            jnp.asarray(vidx), jnp.asarray(vweight),
+            jnp.asarray(images), jnp.asarray(K), jnp.asarray(R),
+            jnp.asarray(t), jnp.float32(step_frac * edge_len),
+            jnp.float32(patch_frac * edge_len), n_steps))
+        move = (m_eff >= 2.0) & (best_cost < max_cost)
+        verts = verts + np.where(move[:, None], s_star[:, None] * vn, 0.0)
+
+        # Umbrella Laplacian smoothing.
+        nb_sum = np.zeros_like(verts)
+        nb_cnt = np.zeros(len(verts))
+        np.add.at(nb_sum, nbr_sum_idx[:, 0], verts[nbr_sum_idx[:, 1]])
+        np.add.at(nb_cnt, nbr_sum_idx[:, 0], 1.0)
+        mean_nb = nb_sum / np.maximum(nb_cnt[:, None], 1)
+        verts = verts + smooth * (mean_nb - verts) * (nb_cnt > 0)[:, None]
+    return verts.astype(np.float32)
+
+
 def reconstruct_mesh(xyz, rgb, cfg: MeshConfig = MeshConfig(), progress=None):
     """Fallback meshing straight from a fused point cloud (no depth maps):
     point-splat occupancy -> pseudo-SDF -> marching tetrahedra.  Used when

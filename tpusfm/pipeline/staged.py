@@ -379,10 +379,18 @@ class StagedPipeline:
                 rgb_images=rgb, progress=self.progress,
             )
             if len(faces):
-                # ~ RefineMesh (main.cpp:184-185): fit vertices to the
-                # verified depth maps + Laplacian smoothing.
+                # ~ RefineMesh (main.cpp:184-185): depth-fit + Laplacian,
+                # then PHOTOMETRIC refinement against the images (the
+                # photo-consistency pass OpenMVS RefineMesh performs —
+                # vertices line-searched along their normals on multi-view
+                # tangent-patch NCC, dense/meshing.refine_mesh_photometric).
                 verts = meshing.refine_mesh(
                     verts, faces, d["depths"], d["valid"], d["K"], d["R"], d["t"]
+                )
+                gray = np.asarray(rgb, np.float32).mean(axis=-1) / 255.0
+                verts = meshing.refine_mesh_photometric(
+                    verts, faces, gray, d["K"], d["R"], d["t"],
+                    d["depths"], d["valid"],
                 )
             if len(faces):
                 # ~ TextureMesh (main.cpp:188-189): OBJ + MTL + atlas PNG.
