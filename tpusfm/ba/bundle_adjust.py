@@ -118,6 +118,15 @@ class BAConfig:
     pallas_gathers: bool = False   # route the per-obs table gathers through
                                    # the one-hot / windowed pallas kernels
                                    # instead of XLA row gathers
+    w_dtype: str = "bf16"          # pallas path: storage dtype of the Schur
+                                   # coupling tables W (O, 18/21) — the
+                                   # dominant CG-matvec traffic.  bf16
+                                   # halves it (PERF.md lever #3); the
+                                   # kernels upcast to f32 in VMEM, so only
+                                   # W itself is quantized (~0.4% relative)
+                                   # and the LM accept-guard absorbs the
+                                   # slightly perturbed step directions.
+                                   # "f32" restores exact storage
     fused_linearize: bool = True   # pallas path: compute residuals, closed-
                                    # form RADIAL3 Jacobians and ALL per-obs
                                    # normal-equation products in ONE kernel
@@ -600,7 +609,8 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             outs = ot.linearize_radial3(
                 camtab, gi, pts_rank, obs_cam, obs_grp, ranks, obs_uv, obs_w,
                 refine=refine, refine_mask=cfg.refine_mask(),
-                huber_delta=cfg.huber_delta, interpret=itp)
+                huber_delta=cfg.huber_delta, interpret=itp,
+                w_dtype=cfg.w_dtype)
             if refine:
                 camvals_t, ptvals_t, Wc_flat, grpvals_t, Wg_flat = outs
             else:
@@ -667,9 +677,12 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             sys["Hpp"] = ptred[:, :9].reshape(P, 3, 3)
             sys["gp"] = ptred[:, 9:]
             # Flattened coupling tables for the fused Schur kernels.
-            sys["Wc"] = jnp.einsum("oki,okj->oij", Jc, Jp).reshape(-1, D * 3)
+            wdt = jnp.bfloat16 if cfg.w_dtype == "bf16" else jnp.float32
+            sys["Wc"] = jnp.einsum("oki,okj->oij", Jc, Jp).reshape(
+                -1, D * 3).astype(wdt)
             if refine:
-                sys["Wg"] = jnp.einsum("oki,okj->oij", Jg, Jp).reshape(-1, E * 3)
+                sys["Wg"] = jnp.einsum("oki,okj->oij", Jg, Jp).reshape(
+                    -1, E * 3).astype(wdt)
         if prior_pos is not None:
             dH, dg, dcost = _prior_terms(ps, prior_pos, prior_w)
             sys["Hcc"] = sys["Hcc"] + dH

@@ -459,7 +459,7 @@ def _linearize_kernel(refine, huber_delta, refine_mask, eps,
 
     wc_ref[:] = jnp.concatenate(
         [Jc_u[:, i:i + 1] * Jp_u + Jc_v[:, i:i + 1] * Jp_v for i in range(6)],
-        axis=1)                                                    # W_c 18
+        axis=1).astype(wc_ref.dtype)                               # W_c 18
 
     if refine:
         grpvals = [Jg_u[:, i:i + 1] * Jg_u + Jg_v[:, i:i + 1] * Jg_v
@@ -468,17 +468,17 @@ def _linearize_kernel(refine, huber_delta, refine_mask, eps,
         grpvals_ref[:] = jnp.concatenate(grpvals, axis=1)
         wg_ref[:] = jnp.concatenate(
             [Jg_u[:, i:i + 1] * Jp_u + Jg_v[:, i:i + 1] * Jp_v
-             for i in range(7)], axis=1)                           # W_g 21
+             for i in range(7)], axis=1).astype(wg_ref.dtype)      # W_g 21
 
 
 @partial(jax.jit, static_argnames=("refine", "refine_mask", "huber_delta",
-                                   "interpret"))
+                                   "interpret", "w_dtype"))
 def linearize_radial3(camtab: jnp.ndarray, grptab: jnp.ndarray,
                       pts_rank: jnp.ndarray, obs_cam: jnp.ndarray,
                       obs_grp: jnp.ndarray, ranks: jnp.ndarray,
                       obs_uv: jnp.ndarray, obs_w: jnp.ndarray,
                       refine: bool, refine_mask: tuple, huber_delta: float,
-                      interpret: bool = False):
+                      interpret: bool = False, w_dtype: str = "f32"):
     """Fused BA linearization: one pallas pass over the (point-sorted)
     observation table -> (camvals, ptvals, wc[, grpvals, wg]).
 
@@ -508,10 +508,11 @@ def linearize_radial3(camtab: jnp.ndarray, grptab: jnp.ndarray,
     wstart = jnp.minimum(ranks_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
 
     cam_w = 85 if refine else 43  # [Hcc 36 | gc 6 | (Hcg 42) | cost 1]
+    wdt = jnp.bfloat16 if w_dtype == "bf16" else jnp.float32
     out_shapes = [
         jax.ShapeDtypeStruct((o_p, cam_w), jnp.float32),   # camvals
         jax.ShapeDtypeStruct((o_p, 12), jnp.float32),      # ptvals
-        jax.ShapeDtypeStruct((o_p, 18), jnp.float32),      # wc
+        jax.ShapeDtypeStruct((o_p, 18), wdt),              # wc
     ]
     out_specs = [
         pl.BlockSpec((B, cam_w), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
@@ -521,7 +522,7 @@ def linearize_radial3(camtab: jnp.ndarray, grptab: jnp.ndarray,
     if refine:
         out_shapes += [
             jax.ShapeDtypeStruct((o_p, 56), jnp.float32),  # grpvals
-            jax.ShapeDtypeStruct((o_p, 21), jnp.float32),  # wg
+            jax.ShapeDtypeStruct((o_p, 21), wdt),          # wg
         ]
         out_specs += [
             pl.BlockSpec((B, 56), lambda b, ws: (b, 0), memory_space=pltpu.VMEM),
@@ -663,7 +664,9 @@ def _schur_fwd_kernel(wstart_ref, idx_ref, cam_ref, w_ref, vtab_ref, out_ref):
     rep, sel = _rep_sel(dblk)
     idx = idx_ref[:]
     cam = cam_ref[:]
-    w = w_ref[:]
+    # W may be stored bf16 (BAConfig.w_dtype): halves the HBM traffic of
+    # the per-matvec W pass; upcast to f32 in VMEM for the arithmetic.
+    w = w_ref[:].astype(jnp.float32)
 
     # vg = onehot_cam @ vtab, computed for the whole KSUB*B block at once.
     cols = jax.lax.broadcasted_iota(jnp.int32, (cam.shape[0], ncam), 1)
@@ -700,7 +703,7 @@ def schur_fwd(w_flat: jnp.ndarray, obs_cam: jnp.ndarray,
     idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
                       value=p_tab - B)
     cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p, value=c_p)
-    w_p = _pad_rows(w_flat.astype(jnp.float32), o_p)
+    w_p = _pad_rows(w_flat, o_p)  # f32 or bf16 — upcast happens in-kernel
     vtab_p = _pad_rows(vtab.astype(jnp.float32), c_p)
     wstart = jnp.minimum(idx_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
     partials = pl.pallas_call(
@@ -744,7 +747,7 @@ def _schur_bwd_kernel(wstart_ref, idx_ref, cam_ref, w_ref, ztab_ref, out_ref):
     onehot_w = (cols == (idx - base)).astype(jnp.bfloat16)
     zg = _oh_dot(onehot_w, ztab_ref[:], contract_lhs=1)     # (B, 3) half-j
     tile = _dot_vals01(zg, sel.T)                           # (B, 3D)
-    bk = _dot_vals01(tile * w_ref[:], rep.T)                # (B, D)
+    bk = _dot_vals01(tile * w_ref[:].astype(jnp.float32), rep.T)  # (B, D)
 
     cam = cam_ref[:]
     ncam = out_ref.shape[0]
@@ -775,7 +778,7 @@ def schur_bwd(w_flat: jnp.ndarray, obs_cam: jnp.ndarray,
     idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
                       value=p_tab - B)
     cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p, value=n_p)
-    w_p = _pad_rows(w_flat.astype(jnp.float32), o_p)
+    w_p = _pad_rows(w_flat, o_p)  # f32 or bf16 — upcast happens in-kernel
     ztab_p = _pad_rows(ztab.astype(jnp.float32), p_tab)
     wstart = jnp.minimum(idx_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
     out = pl.pallas_call(
