@@ -83,8 +83,10 @@ def main():
                     fused_linearize=False), "cg= 8 unfused")
 
     # Bench-style adaptive runs (the recorded metric).
-    it_ms = run(ba.BAConfig(max_iters=10, cg_iters=30), "bench default")
-    print(f'{{"lm_iters_per_s": {1000.0/it_ms:.2f}}}')
+    s_per_it = run(ba.BAConfig(max_iters=10, cg_iters=30), "bench default")
+    run(ba.BAConfig(max_iters=10, cg_iters=30, precond="hcc"),
+        "bench adaptive precond=hcc")
+    print(f'{{"lm_iters_per_s": {1.0/s_per_it:.2f}}}')
 
 
 if __name__ == "__main__":

@@ -110,11 +110,17 @@ class BAConfig:
                                    # breakdown + roofline: PERF.md.
     pallas_interpret: bool = False  # run the pallas kernels in interpret
                                     # mode (CPU tests of the pallas path)
-    precond: str = "schur_diag"    # PCG preconditioner: "schur_diag" (exact
-                                   # S diagonal blocks — Ceres SCHUR_JACOBI
-                                   # analog) or "hcc" (damped Hcc blocks —
-                                   # one fewer obs-table pass per LM iter,
-                                   # typically a few more CG iters)
+    precond: str = "hcc"           # PCG preconditioner: "hcc" (damped Hcc
+                                   # blocks) or "schur_diag" (exact S
+                                   # diagonal blocks — Ceres SCHUR_JACOBI
+                                   # analog).  In-situ at the 500-cam bench
+                                   # config the exact diagonal costs
+                                   # ~44 ms/LM-iter (a 1.48M-row gather +
+                                   # (O,6,3)x(O,3,3) einsum chain + camera
+                                   # reduce) and saves ZERO LM iterations
+                                   # at the adaptive CG tolerance (same
+                                   # 10-iteration trajectory, final cost
+                                   # within 0.15%), so hcc is the default
     pallas_gathers: bool = False   # route the per-obs table gathers through
                                    # the one-hot / windowed pallas kernels
                                    # instead of XLA row gathers
@@ -280,9 +286,30 @@ def _damp_blocks(H, lam):
 
 
 def _inv3(M):
-    """Batched closed-form 3x3 inverse with ridge for masked/empty blocks."""
+    """Batched closed-form (adjugate) 3x3 inverse with ridge for masked or
+    empty blocks — pure elementwise math; jnp.linalg.inv lowers to an LU
+    routine that is measurably slower for (P, 3, 3) batches on TPU."""
     M = M + 1e-12 * jnp.eye(3, dtype=M.dtype)
-    return jnp.linalg.inv(M)
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack([
+        jnp.stack([A, B, C], -1),
+        jnp.stack([D, E, F], -1),
+        jnp.stack([G, H, I], -1),
+    ], -2)
+    return adj / det[..., None, None]
 
 
 def _invD(M):

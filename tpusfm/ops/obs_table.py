@@ -327,34 +327,11 @@ def _sqrt_f32(v):
     return v * r
 
 
-def _linearize_kernel(refine, huber_delta, refine_mask, eps,
-                      wstart_ref, ranks_ref, cam_ref, grp_ref, uv_ref, w_ref,
-                      camtab_ref, grptab_ref, pts0_ref, pts1_ref,
-                      *out_refs):
-    if refine:
-        camvals_ref, ptvals_ref, wc_ref, grpvals_ref, wg_ref = out_refs
-    else:
-        camvals_ref, ptvals_ref, wc_ref = out_refs
-    b = pl.program_id(0)
-    nB = ranks_ref.shape[0]
-    Cp = camtab_ref.shape[0]
-    Gp = grptab_ref.shape[0]
-
-    # --- gathers (one-hot MXU matmuls; exact via the hi/mid/lo 3-split) ---
-    rk = ranks_ref[:]                       # (B, 1) dense sorted point ranks
-    base = wstart_ref[b] * nB
-    loc = rk - base
-    colsB = jax.lax.broadcasted_iota(jnp.int32, (nB, nB), 1)
-    # pts1_ref is the SAME table shifted down by one block (built by the
-    # wrapper), so both window halves index at ws[b] — passing one array
-    # through two in_specs with different index maps is not supported.
-    X = (_oh_dot((colsB == loc).astype(jnp.bfloat16), pts0_ref[:], 1)
-         + _oh_dot((colsB == loc - nB).astype(jnp.bfloat16), pts1_ref[:], 1))
-    colsC = jax.lax.broadcasted_iota(jnp.int32, (nB, Cp), 1)
-    camg = _oh_dot((colsC == cam_ref[:]).astype(jnp.bfloat16), camtab_ref[:], 1)
-    colsG = jax.lax.broadcasted_iota(jnp.int32, (nB, Gp), 1)
-    intg = _oh_dot((colsG == grp_ref[:]).astype(jnp.bfloat16), grptab_ref[:], 1)
-
+def _linearize_math(refine, huber_delta, refine_mask, eps, X, camg, intg,
+                    uv, w_in):
+    """Value-level core of the fused linearization: gathered inputs ->
+    (camvals, ptvals, wc[, grpvals, wg]) value blocks (shared by the
+    windowed and resident-table kernels)."""
     # --- projection (matches core/camera.py camera_to_pixel exactly) ---
     Rr0, Rr1, Rr2 = camg[:, 3:6], camg[:, 6:9], camg[:, 9:12]
 
@@ -366,7 +343,7 @@ def _linearize_kernel(refine, huber_delta, refine_mask, eps,
     z = dot3(Rr2, X) + camg[:, 2:3]
     zs = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
     iz = _recip_f32(zs)
-    valid = w_ref[:] > 0
+    valid = w_in > 0
     # Gate masked/padded rows to a benign ray: their X gathers to 0, and if
     # the camera has |t_z| ~ 0 with nonzero k2/k3 the distortion polynomial
     # overflows to inf, whose 0-weight product is NaN — which would poison
@@ -378,14 +355,14 @@ def _linearize_kernel(refine, huber_delta, refine_mask, eps,
     k1, k2, k3 = intg[:, 4:5], intg[:, 5:6], intg[:, 6:7]
     dist = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
     de = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)        # d dist / d r2
-    ru = fx * x * dist + intg[:, 2:3] - uv_ref[:, 0:1]
-    rv = fy * y * dist + intg[:, 3:4] - uv_ref[:, 1:2]
+    ru = fx * x * dist + intg[:, 2:3] - uv[:, 0:1]
+    rv = fy * y * dist + intg[:, 3:4] - uv[:, 1:2]
 
     # --- Huber IRLS weight ---
     nrm = _sqrt_f32(ru * ru + rv * rv)
     w = _sqrt_f32(jnp.minimum(
         1.0, huber_delta * _recip_f32(jnp.maximum(nrm, 1e-12))))
-    w = w * w_ref[:]
+    w = w * w_in
 
     # --- residual Jacobians ---
     # d(u,v)/d(x,y) then chain through d(x,y)/dXc = [[iz,0,-x iz],[0,iz,-y iz]]
@@ -449,26 +426,106 @@ def _linearize_kernel(refine, huber_delta, refine_mask, eps,
     hcost = jnp.where(
         nrm <= huber_delta, 0.5 * nrm * nrm,
         huber_delta * (nrm - 0.5 * huber_delta))
-    camvals.append(jnp.where(valid, hcost * w_ref[:], 0.0))        # cost 1
-    camvals_ref[:] = jnp.concatenate(camvals, axis=1)
+    camvals.append(jnp.where(valid, hcost * w_in, 0.0))            # cost 1
+    camvals_v = jnp.concatenate(camvals, axis=1)
 
     ptvals = [Jp_u[:, i:i + 1] * Jp_u + Jp_v[:, i:i + 1] * Jp_v
               for i in range(3)]                                   # Hpp 9
     ptvals.append(Jp_u * ru + Jp_v * rv)                           # gp 3
-    ptvals_ref[:] = jnp.concatenate(ptvals, axis=1)
+    ptvals_v = jnp.concatenate(ptvals, axis=1)
 
-    wc_ref[:] = jnp.concatenate(
+    wc_v = jnp.concatenate(
         [Jc_u[:, i:i + 1] * Jp_u + Jc_v[:, i:i + 1] * Jp_v for i in range(6)],
-        axis=1).astype(wc_ref.dtype)                               # W_c 18
+        axis=1)                                                    # W_c 18
 
     if refine:
         grpvals = [Jg_u[:, i:i + 1] * Jg_u + Jg_v[:, i:i + 1] * Jg_v
                    for i in range(7)]                              # Hgg 49
         grpvals.append(Jg_u * ru + Jg_v * rv)                      # gg 7
-        grpvals_ref[:] = jnp.concatenate(grpvals, axis=1)
-        wg_ref[:] = jnp.concatenate(
+        grpvals_v = jnp.concatenate(grpvals, axis=1)
+        wg_v = jnp.concatenate(
             [Jg_u[:, i:i + 1] * Jp_u + Jg_v[:, i:i + 1] * Jp_v
-             for i in range(7)], axis=1).astype(wg_ref.dtype)      # W_g 21
+             for i in range(7)], axis=1)                           # W_g 21
+        return camvals_v, ptvals_v, wc_v, grpvals_v, wg_v
+    return camvals_v, ptvals_v, wc_v
+
+
+def _linearize_kernel(refine, huber_delta, refine_mask, eps,
+                      wstart_ref, ranks_ref, cam_ref, grp_ref, uv_ref, w_ref,
+                      camtab_ref, grptab_ref, pts0_ref, pts1_ref,
+                      *out_refs):
+    if refine:
+        camvals_ref, ptvals_ref, wc_ref, grpvals_ref, wg_ref = out_refs
+    else:
+        camvals_ref, ptvals_ref, wc_ref = out_refs
+    b = pl.program_id(0)
+    nB = ranks_ref.shape[0]
+    Cp = camtab_ref.shape[0]
+    Gp = grptab_ref.shape[0]
+
+    # --- gathers (one-hot MXU matmuls; exact via the hi/mid/lo 3-split) ---
+    rk = ranks_ref[:]                       # (B, 1) dense sorted point ranks
+    base = wstart_ref[b] * nB
+    loc = rk - base
+    colsB = jax.lax.broadcasted_iota(jnp.int32, (nB, nB), 1)
+    # pts1_ref is the SAME table shifted down by one block (built by the
+    # wrapper), so both window halves index at ws[b] — passing one array
+    # through two in_specs with different index maps is not supported.
+    X = (_oh_dot((colsB == loc).astype(jnp.bfloat16), pts0_ref[:], 1)
+         + _oh_dot((colsB == loc - nB).astype(jnp.bfloat16), pts1_ref[:], 1))
+    colsC = jax.lax.broadcasted_iota(jnp.int32, (nB, Cp), 1)
+    camg = _oh_dot((colsC == cam_ref[:]).astype(jnp.bfloat16), camtab_ref[:], 1)
+    colsG = jax.lax.broadcasted_iota(jnp.int32, (nB, Gp), 1)
+    intg = _oh_dot((colsG == grp_ref[:]).astype(jnp.bfloat16), grptab_ref[:], 1)
+
+    outs = _linearize_math(refine, huber_delta, refine_mask, eps, X, camg,
+                           intg, uv_ref[:], w_ref[:])
+    camvals_ref[:] = outs[0]
+    ptvals_ref[:] = outs[1]
+    wc_ref[:] = outs[2].astype(wc_ref.dtype)
+    if refine:
+        grpvals_ref[:] = outs[3]
+        wg_ref[:] = outs[4].astype(wg_ref.dtype)
+
+
+def _linearize_big_kernel(refine, huber_delta, refine_mask, eps,
+                          wstart_ref, ranks_ref, cam_ref, grp_ref, uv_ref,
+                          w_ref, camtab_ref, grptab_ref, pts_ref, *out_refs):
+    """Resident-table variant: the FULL rank-space point table lives in
+    VMEM, KS_BIG sub-blocks per grid step (fori_loop; one sub-block's
+    scratch at a time), windows as VMEM dynamic slices."""
+    if refine:
+        camvals_ref, ptvals_ref, wc_ref, grpvals_ref, wg_ref = out_refs
+    else:
+        camvals_ref, ptvals_ref, wc_ref = out_refs
+    s = pl.program_id(0)
+    Cp = camtab_ref.shape[0]
+    Gp = grptab_ref.shape[0]
+
+    def body(k, _):
+        rk = ranks_ref[pl.ds(k * B, B), :]
+        base = wstart_ref[s * KS_LIN + k] * B
+        zwin = pts_ref[pl.ds(base, 2 * B), :]               # (2B, 3)
+        colsB = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * B), 1)
+        X = _oh_dot((colsB == (rk - base)).astype(jnp.bfloat16), zwin, 1)
+        cam_k = cam_ref[pl.ds(k * B, B), :]
+        colsC = jax.lax.broadcasted_iota(jnp.int32, (B, Cp), 1)
+        camg = _oh_dot((colsC == cam_k).astype(jnp.bfloat16), camtab_ref[:], 1)
+        grp_k = grp_ref[pl.ds(k * B, B), :]
+        colsG = jax.lax.broadcasted_iota(jnp.int32, (B, Gp), 1)
+        intg = _oh_dot((colsG == grp_k).astype(jnp.bfloat16), grptab_ref[:], 1)
+        outs = _linearize_math(refine, huber_delta, refine_mask, eps, X,
+                               camg, intg, uv_ref[pl.ds(k * B, B), :],
+                               w_ref[pl.ds(k * B, B), :])
+        camvals_ref[pl.ds(k * B, B), :] = outs[0]
+        ptvals_ref[pl.ds(k * B, B), :] = outs[1]
+        wc_ref[pl.ds(k * B, B), :] = outs[2].astype(wc_ref.dtype)
+        if refine:
+            grpvals_ref[pl.ds(k * B, B), :] = outs[3]
+            wg_ref[pl.ds(k * B, B), :] = outs[4].astype(wg_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, KS_LIN, body, 0)
 
 
 @partial(jax.jit, static_argnames=("refine", "refine_mask", "huber_delta",
@@ -491,10 +548,11 @@ def linearize_radial3(camtab: jnp.ndarray, grptab: jnp.ndarray,
     c = camtab.shape[0]
     g = grptab.shape[0]
     p = pts_rank.shape[0]
-    o_p = _ceil_to(max(o, 1), B)
     c_p = _ceil_to(max(c, 1), 8)
     g_p = _ceil_to(max(g, 1), 8)
     p_tab = _ceil_to(max(p, 1), B) + B
+    big = p_tab <= MAX_RESIDENT_ROWS
+    o_p = _ceil_to(max(o, 1), B * KS_LIN if big else B)
     nb = o_p // B
     ranks_p = _pad_rows(ranks.astype(jnp.int32).reshape(-1, 1), o_p,
                         value=p_tab - B)
@@ -509,6 +567,49 @@ def linearize_radial3(camtab: jnp.ndarray, grptab: jnp.ndarray,
 
     cam_w = 85 if refine else 43  # [Hcc 36 | gc 6 | (Hcg 42) | cost 1]
     wdt = jnp.bfloat16 if w_dtype == "bf16" else jnp.float32
+    if big:
+        KB = B * KS_LIN
+        obs_widths = [cam_w, 12, 18] + ([56, 21] if refine else [])
+        obs_dts = [jnp.float32, jnp.float32, wdt] + (
+            [jnp.float32, wdt] if refine else [])
+        outs = pl.pallas_call(
+            partial(_linearize_big_kernel, refine, float(huber_delta),
+                    tuple(refine_mask), 1e-8),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(o_p // KB,),
+                in_specs=[
+                    pl.BlockSpec((KB, 1), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((KB, 1), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((KB, 1), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((KB, 2), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((KB, 1), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((c_p, LIN_CAM_DIM), lambda s, ws: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((g_p, 7), lambda s, ws: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((p_tab, 3), lambda s, ws: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((KB, wd), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM)
+                    for wd in obs_widths
+                ],
+            ),
+            out_shape=[jax.ShapeDtypeStruct((o_p, wd), dt)
+                       for wd, dt in zip(obs_widths, obs_dts)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(wstart, ranks_p, cam_p, grp_p, uv_p, w_p, camtab_p, grptab_p,
+          pts_p)
+        return tuple(out[:o] for out in outs)
     out_shapes = [
         jax.ShapeDtypeStruct((o_p, cam_w), jnp.float32),   # camvals
         jax.ShapeDtypeStruct((o_p, 12), jnp.float32),      # ptvals
@@ -655,6 +756,91 @@ def _rep_sel(d_block: int):
     return rep, sel
 
 
+KS_BIG = 8              # sub-blocks per grid step in the resident-table
+                        # schur kernels (fewer, larger steps: the windowed
+                        # kernels' per-step overhead dominated the CG matvec
+                        # — measured ~39 ms/CG iter for ~0.25 ms of HBM
+                        # traffic at the 500-cam config)
+MAX_RESIDENT_ROWS = 300_000  # use the resident-table path while the full
+                             # (p, 3) rank table fits comfortably in VMEM
+KS_LIN = 4                   # sub-blocks per step in the resident-table
+                             # linearize kernel (its per-block scratch is
+                             # much larger than the schur kernels'; runs
+                             # with a raised scoped-VMEM limit)
+
+
+def _schur_fwd_big_kernel(wstart_ref, idx_ref, cam_ref, w_ref, vtab_ref,
+                          out_ref):
+    """Resident-table fused W^T v: the FULL (p_tab, 3) output accumulator
+    lives in VMEM across all grid steps; each step processes KS_BIG
+    sub-blocks, scattering each into its (2B)-row window by dynamic-slice
+    accumulate — no per-window DMAs, no partial blocks, no phase-2."""
+    s = pl.program_id(0)
+    dblk = vtab_ref.shape[1]
+    ncam = vtab_ref.shape[0]
+    rep, sel = _rep_sel(dblk)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # fori_loop over the sub-blocks (not an unrolled Python loop — that
+    # kept all 8 sub-blocks' scratch live and blew the 16 MB VMEM scope);
+    # per-block inputs come from ref slices (value dynamic_slice is not
+    # lowered in Pallas TC).
+    def body(k, _):
+        base = wstart_ref[s * KS_BIG + k] * B
+        idx_k = idx_ref[pl.ds(k * B, B), :]
+        cam_k = cam_ref[pl.ds(k * B, B), :]
+        w_k = w_ref[pl.ds(k * B, B), :].astype(jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, ncam), 1)
+        onehot_c = (cols == cam_k).astype(jnp.bfloat16)
+        vg = _oh_dot(onehot_c, vtab_ref[:], contract_lhs=1)  # (B, D)
+        eg = _dot_vals01(vg, rep)                            # (B, 3D)
+        wv = _dot_vals01(eg * w_k, sel)                      # (B, 3)
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * B), 1)
+        onehot = (cols2 == (idx_k - base)).astype(jnp.bfloat16)
+        out_ref[pl.ds(base, 2 * B), :] += _oh_dot(onehot, wv, contract_lhs=0)
+        return 0
+
+    jax.lax.fori_loop(0, KS_BIG, body, 0)
+
+
+def _schur_bwd_big_kernel(wstart_ref, idx_ref, cam_ref, w_ref, ztab_ref,
+                          out_ref):
+    """Resident-table fused b_c += onehot_cam^T (W z): the FULL (p_tab, 3)
+    z table lives in VMEM; per sub-block the (2B)-row window is a VMEM
+    dynamic slice instead of a per-step DMA."""
+    s = pl.program_id(0)
+    dblk = out_ref.shape[1]
+    ncam = out_ref.shape[0]
+    rep, sel = _rep_sel(dblk)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # fori_loop over sub-blocks; ref slices for per-block inputs (see
+    # _schur_fwd_big_kernel).
+    def body(k, _):
+        base = wstart_ref[s * KS_BIG + k] * B
+        zwin = ztab_ref[pl.ds(base, 2 * B), :]              # (2B, 3)
+        idx_k = idx_ref[pl.ds(k * B, B), :]
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * B), 1)
+        onehot = (cols2 == (idx_k - base)).astype(jnp.bfloat16)
+        zg = _oh_dot(onehot, zwin, contract_lhs=1)          # (B, 3)
+        tile = _dot_vals01(zg, sel.T)                       # (B, 3D)
+        w_k = w_ref[pl.ds(k * B, B), :].astype(jnp.float32)
+        bk = _dot_vals01(tile * w_k, rep.T)                 # (B, D)
+        cam_k = cam_ref[pl.ds(k * B, B), :]
+        cols_c = jax.lax.broadcasted_iota(jnp.int32, (B, ncam), 1)
+        onehot_c = (cols_c == cam_k).astype(jnp.bfloat16)
+        out_ref[:] += _oh_dot(onehot_c, bk, contract_lhs=0)
+        return 0
+
+    jax.lax.fori_loop(0, KS_BIG, body, 0)
+
+
 def _schur_fwd_kernel(wstart_ref, idx_ref, cam_ref, w_ref, vtab_ref, out_ref):
     """Per grid step (s, j): KSUB sub-blocks of fused W^T v partials."""
     j = pl.program_id(1)
@@ -695,9 +881,42 @@ def schur_fwd(w_flat: jnp.ndarray, obs_cam: jnp.ndarray,
     o, dd3 = w_flat.shape
     dblk = dd3 // 3
     c, _ = vtab.shape
-    o_p = _ceil_to(max(o, 1), B * KSUB)
     p_tab = _ceil_to(max(p, 1), B) + B
     c_p = _ceil_to(max(c, 1), 8)
+    if p_tab <= MAX_RESIDENT_ROWS:
+        KB = B * KS_BIG
+        o_p = _ceil_to(max(o, 1), KB)
+        idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
+                          value=p_tab - B)
+        cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p,
+                          value=c_p)
+        w_p = _pad_rows(w_flat, o_p)
+        vtab_p = _pad_rows(vtab.astype(jnp.float32), c_p)
+        wstart = jnp.minimum(idx_p[::B, 0] // B,
+                             p_tab // B - 2).astype(jnp.int32)
+        out = pl.pallas_call(
+            _schur_fwd_big_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(o_p // KB,),
+                in_specs=[
+                    pl.BlockSpec((KB, 1), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((KB, 1), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((KB, dd3), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((c_p, dblk), lambda s, ws: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((p_tab, 3), lambda s, ws: (0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((p_tab, 3), jnp.float32),
+            interpret=interpret,
+        )(wstart, idx_p, cam_p, w_p, vtab_p)
+        return out[:p]
+    o_p = _ceil_to(max(o, 1), B * KSUB)
     nb = o_p // B
     ns = nb // KSUB
     idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
@@ -772,9 +991,42 @@ def schur_bwd(w_flat: jnp.ndarray, obs_cam: jnp.ndarray,
     o, dd3 = w_flat.shape
     dblk = dd3 // 3
     p_z = ztab.shape[0]
-    o_p = _ceil_to(max(o, 1), B)
     p_tab = _ceil_to(max(p_z, 1), B) + B
     n_p = _ceil_to(max(n, 1), 8)
+    if p_tab <= MAX_RESIDENT_ROWS:
+        KB = B * KS_BIG
+        o_p = _ceil_to(max(o, 1), KB)
+        idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
+                          value=p_tab - B)
+        cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p,
+                          value=n_p)
+        w_p = _pad_rows(w_flat, o_p)
+        ztab_p = _pad_rows(ztab.astype(jnp.float32), p_tab)
+        wstart = jnp.minimum(idx_p[::B, 0] // B,
+                             p_tab // B - 2).astype(jnp.int32)
+        out = pl.pallas_call(
+            _schur_bwd_big_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(o_p // KB,),
+                in_specs=[
+                    pl.BlockSpec((KB, 1), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((KB, 1), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((KB, dd3), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((p_tab, 3), lambda s, ws: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((n_p, dblk), lambda s, ws: (0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_p, dblk), jnp.float32),
+            interpret=interpret,
+        )(wstart, idx_p, cam_p, w_p, ztab_p)
+        return out[:n]
+    o_p = _ceil_to(max(o, 1), B)
     idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
                       value=p_tab - B)
     cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p, value=n_p)
