@@ -603,19 +603,24 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             return ot.gather_sorted(pts_rank, ranks, interpret=itp)
         return _gather(pts, obs_pt)
 
-    def pt_reduce(vals):
-        """(O, Dv) -> per-point sums (P, Dv), psum-reduced when sharded."""
-        red_r = ot.segsum_sorted(vals, ranks, P, interpret=itp)
-        red_p = jnp.zeros((P, vals.shape[1]), vals.dtype).at[rank_scatter_ids].add(
+    obs_uvT = obs_uv.T  # T-layout kernels take (2, O); hoisted once
+
+    def pt_reduce_t(valsT):
+        """(Dv, O) T-layout -> per-point sums (P, Dv), psum when sharded."""
+        red_r = ot.segsum_sorted_t(valsT, ranks, P, interpret=itp)
+        red_p = jnp.zeros((P, valsT.shape[0]), red_r.dtype).at[
+            rank_scatter_ids].add(
             jnp.where(rank_valid[:, None], red_r, 0.0), mode="drop"
         )
         return _maybe_psum(red_p, ax)
 
-    def cam_reduce(vals):
-        return _maybe_psum(ot.segsum_table(vals, obs_cam, C, interpret=itp), ax)
+    def cam_reduce_t(valsT):
+        return _maybe_psum(ot.segsum_table_t(valsT, obs_cam, C,
+                                             interpret=itp), ax)
 
-    def grp_reduce(vals):
-        return _maybe_psum(ot.segsum_table(vals, obs_grp, G, interpret=itp), ax)
+    def grp_reduce_t(valsT):
+        return _maybe_psum(ot.segsum_table_t(valsT, obs_grp, G,
+                                             interpret=itp), ax)
 
     def linearize(ps, gi, pts):
         """ONE pass over the obs table -> (system dict, robust cost).
@@ -633,9 +638,9 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             camtab = jnp.concatenate(
                 [ps[:, 3:6], R.reshape(C, 9), Jr.reshape(C, 9)], axis=1)
             pts_rank = jnp.where(rank_valid[:, None], pts[safe_r2p], 0.0)
-            outs = ot.linearize_radial3(
-                camtab, gi, pts_rank, obs_cam, obs_grp, ranks, obs_uv, obs_w,
-                refine=refine, refine_mask=cfg.refine_mask(),
+            outs = ot.linearize_radial3_t(
+                camtab, gi, pts_rank, obs_cam, obs_grp, ranks, obs_uvT,
+                obs_w, refine=refine, refine_mask=cfg.refine_mask(),
                 huber_delta=cfg.huber_delta, interpret=itp,
                 w_dtype=cfg.w_dtype)
             if refine:
@@ -643,7 +648,7 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             else:
                 camvals_t, ptvals_t, Wc_flat = outs
                 Wg_flat = None
-            camred = cam_reduce(camvals_t)
+            camred = cam_reduce_t(camvals_t)
             sys = {
                 "Hcc": camred[:, : D * D].reshape(C, D, D),
                 "gc": camred[:, D * D: D * D + D],
@@ -653,11 +658,11 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             if refine:
                 sys["Hcg"] = camred[:, D * D + D: D * D + D + D * E].reshape(
                     C, D, E)
-                grpred = grp_reduce(grpvals_t)
+                grpred = grp_reduce_t(grpvals_t)
                 sys["Hgg"] = grpred[:, : E * E].reshape(G, E, E)
                 sys["gg"] = grpred[:, E * E:]
                 sys["Wg"] = Wg_flat
-            ptred = pt_reduce(ptvals_t)
+            ptred = pt_reduce_t(ptvals_t)
             sys["Hpp"] = ptred[:, :9].reshape(P, 3, 3)
             sys["gp"] = ptred[:, 9:]
         else:
@@ -680,7 +685,7 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             ]
             if refine:
                 camvals.append(jnp.einsum("oki,okj->oij", Jc, Jg).reshape(-1, D * E))
-            camred = cam_reduce(jnp.concatenate(camvals, axis=-1))
+            camred = cam_reduce_t(jnp.concatenate(camvals, axis=-1).T)
             sys = {
                 "Hcc": camred[:, : D * D].reshape(C, D, D),
                 "gc": camred[:, D * D: D * D + D],
@@ -692,7 +697,7 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
                     jnp.einsum("oki,okj->oij", Jg, Jg).reshape(-1, E * E),
                     jnp.einsum("oki,ok->oi", Jg, r),
                 ], axis=-1)
-                grpred = grp_reduce(grpvals)
+                grpred = grp_reduce_t(grpvals.T)
                 sys["Hgg"] = grpred[:, : E * E].reshape(G, E, E)
                 sys["gg"] = grpred[:, E * E:]
             # Point side: one fused (O, 12) reduction.
@@ -700,16 +705,17 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
                 jnp.einsum("oki,okj->oij", Jp, Jp).reshape(-1, 9),
                 jnp.einsum("oki,ok->oi", Jp, r),
             ], axis=-1)
-            ptred = pt_reduce(ptvals)
+            ptred = pt_reduce_t(ptvals.T)
             sys["Hpp"] = ptred[:, :9].reshape(P, 3, 3)
             sys["gp"] = ptred[:, 9:]
             # Flattened coupling tables for the fused Schur kernels.
             wdt = jnp.bfloat16 if cfg.w_dtype == "bf16" else jnp.float32
+            # W tables live TRANSPOSED (3D, O) for the T-layout schur kernels.
             sys["Wc"] = jnp.einsum("oki,okj->oij", Jc, Jp).reshape(
-                -1, D * 3).astype(wdt)
+                -1, D * 3).astype(wdt).T
             if refine:
                 sys["Wg"] = jnp.einsum("oki,okj->oij", Jg, Jp).reshape(
-                    -1, E * 3).astype(wdt)
+                    -1, E * 3).astype(wdt).T
         if prior_pos is not None:
             dH, dg, dcost = _prior_terms(ps, prior_pos, prior_w)
             sys["Hcc"] = sys["Hcc"] + dH
@@ -721,12 +727,11 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         """Damped Schur-complement solve of the carried linearization ->
         (dc, dg, dp)."""
         Hcc, gc, gp = sys["Hcc"], sys["gc"], sys["gp"]
-        Hpp, Wc_flat = sys["Hpp"], sys["Wc"]
+        Hpp, Wc_flat = sys["Hpp"], sys["Wc"]  # Wc_flat is T-layout (D*3, O)
         Hcg = sys.get("Hcg")
         Hgg = sys.get("Hgg")
         gg = sys.get("gg")
         Wg_flat = sys.get("Wg")
-        Wc3 = Wc_flat.reshape(-1, D, 3)
 
         Hcc_d = _damp_blocks(Hcc, lam)
         Hpp_inv = _inv3(_damp_blocks(Hpp, lam))
@@ -748,21 +753,23 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         # rhs = -g + W Hpp^-1 gp  (per block type)
         z_rank = to_rank(jnp.einsum("pij,pj->pi", Hpp_inv, gp))
         rhs_c = (-gc + _maybe_psum(
-            ot.schur_bwd(Wc_flat, obs_cam, ranks, z_rank, C, interpret=itp),
+            ot.schur_bwd_t(Wc_flat, obs_cam, ranks, z_rank, C, interpret=itp),
             ax)) * upd_c
         rhs = {"c": rhs_c}
         if refine:
             rhs["g"] = (-gg + _maybe_psum(
-                ot.schur_bwd(Wg_flat, obs_grp, ranks, z_rank, G,
-                             interpret=itp), ax)) * upd_g
+                ot.schur_bwd_t(Wg_flat, obs_grp, ranks, z_rank, G,
+                               interpret=itp), ax)) * upd_g
 
         # Block-Jacobi preconditioner: exact S diagonal on pose blocks
         # (one obs per (cam, point) pair), damped Hgg on group blocks
         # (groups span many cameras; their diagonal is dominated by Hgg).
         if cfg.precond == "schur_diag":
+            Wc3 = Wc_flat.astype(jnp.float32).T.reshape(-1, D, 3)
             Hinv_o = _gather(Hpp_inv.reshape(P, 9), obs_pt).reshape(-1, 3, 3)
             contrib = jnp.einsum("oij,ojk,olk->oil", Wc3, Hinv_o, Wc3)
-            S_diag = Hcc_d - cam_reduce(contrib.reshape(-1, D * D)).reshape(C, D, D)
+            S_diag = Hcc_d - cam_reduce_t(
+                contrib.reshape(-1, D * D).T).reshape(C, D, D)
             M_inv_c = _invD(S_diag)
         else:  # "hcc": damped Hcc blocks only — one fewer obs-table pass
             M_inv_c = _invD(Hcc_d)
@@ -776,11 +783,11 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
 
         def mv(v):
             vc = v["c"] * upd_c
-            y_r = ot.schur_fwd(Wc_flat, obs_cam, ranks, vc, P, interpret=itp)
+            y_r = ot.schur_fwd_t(Wc_flat, obs_cam, ranks, vc, P, interpret=itp)
             if refine:
                 vg = v["g"] * upd_g
-                y_r = y_r + ot.schur_fwd(Wg_flat, obs_grp, ranks, vg, P,
-                                         interpret=itp)
+                y_r = y_r + ot.schur_fwd_t(Wg_flat, obs_grp, ranks, vg, P,
+                                           interpret=itp)
             if ax:
                 # Cross-shard coupling: shard-local rank spaces differ, so
                 # the point reduction must round-trip through (replicated)
@@ -789,13 +796,13 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
                     "pij,pj->pi", Hpp_inv, _maybe_psum(from_rank(y_r), ax)))
             else:
                 z_r = jnp.einsum("pij,pj->pi", Hinv_rank, y_r)
-            bc = _maybe_psum(ot.schur_bwd(Wc_flat, obs_cam, ranks, z_r, C,
-                                          interpret=itp), ax)
+            bc = _maybe_psum(ot.schur_bwd_t(Wc_flat, obs_cam, ranks, z_r, C,
+                                            interpret=itp), ax)
             Hvc = jnp.einsum("cij,cj->ci", Hcc_d, vc)
             if refine:
                 Hvc = Hvc + jnp.einsum("cde,ce->cd", Hcg, vg[cam_group])
-                bg = _maybe_psum(ot.schur_bwd(Wg_flat, obs_grp, ranks, z_r,
-                                              G, interpret=itp), ax)
+                bg = _maybe_psum(ot.schur_bwd_t(Wg_flat, obs_grp, ranks,
+                                                z_r, G, interpret=itp), ax)
                 Hvg = jnp.einsum("gef,gf->ge", Hgg_d, vg) + jax.ops.segment_sum(
                     jnp.einsum("cde,cd->ce", Hcg, vc), cam_group, G)
                 out = {"c": (Hvc - bc) * upd_c, "g": (Hvg - bg) * upd_g}
@@ -806,10 +813,10 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         d = _pcg(mv, rhs, apply_M, cfg.cg_iters, cfg.cg_tol)
         dc = d["c"] * upd_c
         dg = d["g"] * upd_g if refine else None
-        Wtd_r = ot.schur_fwd(Wc_flat, obs_cam, ranks, dc, P, interpret=itp)
+        Wtd_r = ot.schur_fwd_t(Wc_flat, obs_cam, ranks, dc, P, interpret=itp)
         if refine:
-            Wtd_r = Wtd_r + ot.schur_fwd(Wg_flat, obs_grp, ranks, dg, P,
-                                         interpret=itp)
+            Wtd_r = Wtd_r + ot.schur_fwd_t(Wg_flat, obs_grp, ranks, dg, P,
+                                           interpret=itp)
         Wtd = _maybe_psum(from_rank(Wtd_r), ax)
         dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtd) * pt_upd
         return dc, dg, dp

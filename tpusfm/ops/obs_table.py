@@ -1055,3 +1055,538 @@ def schur_bwd(w_flat: jnp.ndarray, obs_cam: jnp.ndarray,
         interpret=interpret,
     )(wstart, idx_p, cam_p, w_p, ztab_p)
     return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# T-layout kernels: per-obs arrays stored (k, O) with OBSERVATIONS ON LANES
+# ---------------------------------------------------------------------------
+#
+# The original kernels keep observations on sublanes and per-obs scalars as
+# (B, 1) columns; Mosaic executes every elementwise op on such a column at
+# ~1/128 VPU lane utilization (measured in-loop: a 120-op chain over 377k
+# obs costs 12.6 ms as columns vs 1.78 ms as (1, 8192) lane rows — 7.1x).
+# The T-layout stores each per-obs quantity as a ROW over observation
+# lanes, so the whole linearization math runs at dense VPU utilization and
+# every gather/reduce matmul gets an MXU-friendly (small-M x large-N)
+# shape:
+#
+#   gather:   camtab^T (21, C) @ onehot (C, BL)      -> (21, BL)
+#   reduce:   vals^T (43, BL) @ onehot^T (BL, C)     -> (43, C)
+#   window:   lane-dynamic slices at 512-aligned offsets
+#
+# Obs blocks are BL = 8192 lanes per grid step (16x fewer steps than the
+# sublane kernels' 512-row blocks).
+
+BL_T = 8192           # observations per grid step (lanes)
+NSUB_T = BL_T // B    # 512-lane windows per step (rank-window granularity)
+
+
+def _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg, intg,
+                      uv, w_in):
+    """T-layout twin of _linearize_math: every per-obs quantity is a
+    (1, BL) lane row; concatenations stack rows (axis 0).
+    X (3, BL), camg (21, BL), intg (7, BL), uv (2, BL), w_in (1, BL).
+    Returns (camvalsT (43|85, BL), ptvalsT (12, BL), wcT (18, BL)
+    [, grpvalsT (56, BL), wgT (21, BL)])."""
+    def row(a, i):
+        return a[i:i + 1, :]
+
+    def dot3(p, q):  # (3, BL) x (3, BL) -> (1, BL)
+        return jnp.sum(p * q, axis=0, keepdims=True)
+
+    Rr0 = camg[3:6, :]
+    Rr1 = camg[6:9, :]
+    Rr2 = camg[9:12, :]
+    Xc1 = dot3(Rr0, X) + row(camg, 0)
+    Xc2 = dot3(Rr1, X) + row(camg, 1)
+    z = dot3(Rr2, X) + row(camg, 2)
+    zs = jnp.where(jnp.abs(z) < eps, jnp.where(z < 0, -eps, eps), z)
+    iz = _recip_f32(zs)
+    valid = w_in > 0
+    x = jnp.where(valid, Xc1 * iz, 0.0)
+    y = jnp.where(valid, Xc2 * iz, 0.0)
+    r2 = x * x + y * y
+    fx, fy = row(intg, 0), row(intg, 1)
+    k1, k2, k3 = row(intg, 4), row(intg, 5), row(intg, 6)
+    dist = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    de = k1 + r2 * (2.0 * k2 + 3.0 * k3 * r2)
+    ru = fx * x * dist + row(intg, 2) - row(uv, 0)
+    rv = fy * y * dist + row(intg, 3) - row(uv, 1)
+
+    nrm = _sqrt_f32(ru * ru + rv * rv)
+    w = _sqrt_f32(jnp.minimum(
+        1.0, huber_delta * _recip_f32(jnp.maximum(nrm, 1e-12))))
+    w = w * w_in
+
+    au = fx * (dist + 2.0 * x * x * de)
+    bu = 2.0 * fx * x * y * de
+    cv = 2.0 * fy * x * y * de
+    dv = fy * (dist + 2.0 * y * y * de)
+    Lu = jnp.concatenate([au * iz, bu * iz, -(au * x + bu * y) * iz], axis=0)
+    Lv = jnp.concatenate([cv * iz, dv * iz, -(cv * x + dv * y) * iz], axis=0)
+
+    Rc0 = jnp.concatenate([camg[3:4], camg[6:7], camg[9:10]], axis=0)
+    Rc1 = jnp.concatenate([camg[4:5], camg[7:8], camg[10:11]], axis=0)
+    Rc2 = jnp.concatenate([camg[5:6], camg[8:9], camg[11:12]], axis=0)
+    X1, X2, X3 = X[0:1, :], X[1:2, :], X[2:3, :]
+    a1 = X3 * Rc1 - X2 * Rc2
+    a2 = X1 * Rc2 - X3 * Rc0
+    a3 = X2 * Rc0 - X1 * Rc1
+    N0 = -(camg[12:13] * a1 + camg[15:16] * a2 + camg[18:19] * a3)
+    N1 = -(camg[13:14] * a1 + camg[16:17] * a2 + camg[19:20] * a3)
+    N2 = -(camg[14:15] * a1 + camg[17:18] * a2 + camg[20:21] * a3)
+
+    Jc_u = jnp.concatenate([dot3(Lu, N0), dot3(Lu, N1), dot3(Lu, N2), Lu], axis=0)
+    Jc_v = jnp.concatenate([dot3(Lv, N0), dot3(Lv, N1), dot3(Lv, N2), Lv], axis=0)
+    Jp_u = jnp.concatenate([dot3(Lu, Rc0), dot3(Lu, Rc1), dot3(Lu, Rc2)], axis=0)
+    Jp_v = jnp.concatenate([dot3(Lv, Rc0), dot3(Lv, Rc1), dot3(Lv, Rc2)], axis=0)
+
+    ru, rv = ru * w, rv * w
+    Jc_u, Jc_v = Jc_u * w, Jc_v * w
+    Jp_u, Jp_v = Jp_u * w, Jp_v * w
+    if refine:
+        zero = jnp.zeros_like(x)
+        one = jnp.ones_like(x)
+        r4 = r2 * r2
+        r6 = r4 * r2
+        m = [float(v) for v in refine_mask]
+        Jg_u = jnp.concatenate(
+            [x * dist * m[0], zero, one * m[2], zero,
+             fx * x * r2 * m[4], fx * x * r4 * m[5], fx * x * r6 * m[6]],
+            axis=0)
+        Jg_v = jnp.concatenate(
+            [zero, y * dist * m[1], zero, one * m[3],
+             fy * y * r2 * m[4], fy * y * r4 * m[5], fy * y * r6 * m[6]],
+            axis=0)
+        Jg_u = Jg_u * w
+        Jg_v = Jg_v * w
+
+    camvals = [Jc_u[i:i + 1, :] * Jc_u + Jc_v[i:i + 1, :] * Jc_v
+               for i in range(6)]                                  # Hcc 36
+    camvals.append(Jc_u * ru + Jc_v * rv)                          # gc 6
+    if refine:
+        camvals += [Jc_u[i:i + 1, :] * Jg_u + Jc_v[i:i + 1, :] * Jg_v
+                    for i in range(6)]                             # Hcg 42
+    hcost = jnp.where(
+        nrm <= huber_delta, 0.5 * nrm * nrm,
+        huber_delta * (nrm - 0.5 * huber_delta))
+    camvals.append(jnp.where(valid, hcost * w_in, 0.0))            # cost 1
+    camvals_v = jnp.concatenate(camvals, axis=0)
+
+    ptvals = [Jp_u[i:i + 1, :] * Jp_u + Jp_v[i:i + 1, :] * Jp_v
+              for i in range(3)]                                   # Hpp 9
+    ptvals.append(Jp_u * ru + Jp_v * rv)                           # gp 3
+    ptvals_v = jnp.concatenate(ptvals, axis=0)
+
+    wc_v = jnp.concatenate(
+        [Jc_u[i:i + 1, :] * Jp_u + Jc_v[i:i + 1, :] * Jp_v for i in range(6)],
+        axis=0)                                                    # W_c 18
+
+    if refine:
+        grpvals = [Jg_u[i:i + 1, :] * Jg_u + Jg_v[i:i + 1, :] * Jg_v
+                   for i in range(7)]                              # Hgg 49
+        grpvals.append(Jg_u * ru + Jg_v * rv)                      # gg 7
+        grpvals_v = jnp.concatenate(grpvals, axis=0)
+        wg_v = jnp.concatenate(
+            [Jg_u[i:i + 1, :] * Jp_u + Jg_v[i:i + 1, :] * Jp_v
+             for i in range(7)], axis=0)                           # W_g 21
+        return camvals_v, ptvals_v, wc_v, grpvals_v, wg_v
+    return camvals_v, ptvals_v, wc_v
+
+
+def _linearize_t_kernel(refine, huber_delta, refine_mask, eps,
+                        wstart_ref, ranks_ref, cam_ref, grp_ref, uv_ref,
+                        w_ref, camtabT_ref, grptabT_ref, ptsT_ref, *out_refs):
+    if refine:
+        camvals_ref, ptvals_ref, wc_ref, grpvals_ref, wg_ref = out_refs
+    else:
+        camvals_ref, ptvals_ref, wc_ref = out_refs
+    s = pl.program_id(0)
+    Cp = camtabT_ref.shape[1]
+    Gp = grptabT_ref.shape[1]
+
+    # Camera / group gathers for the whole lane block: (21, Cp) @ (Cp, BL).
+    cam = cam_ref[:]  # (1, BL)
+    rowsC = jax.lax.broadcasted_iota(jnp.int32, (Cp, BL_T), 0)
+    onehot_c = (rowsC == cam).astype(jnp.bfloat16)
+    camg = _oh_dot_t(camtabT_ref[:], onehot_c)      # (21, BL)
+    grp = grp_ref[:]
+    rowsG = jax.lax.broadcasted_iota(jnp.int32, (Gp, BL_T), 0)
+    onehot_g = (rowsG == grp).astype(jnp.bfloat16)
+    intg = _oh_dot_t(grptabT_ref[:], onehot_g)      # (7, BL)
+
+    # Point gather: per 512-lane window, X = ptsT_win (3, 2B) @ onehot.
+    rk = ranks_ref[:]  # (1, BL)
+    xs = []
+    for k in range(NSUB_T):
+        base = wstart_ref[s * NSUB_T + k] * B
+        win = ptsT_ref[:, pl.ds(base, 2 * B)]       # (3, 2B)
+        rk_k = rk[:, k * B:(k + 1) * B]             # (1, B)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+        onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+        xs.append(_oh_dot_t(win, onehot))           # (3, B)
+    X = jnp.concatenate(xs, axis=1)                 # (3, BL)
+
+    outs = _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg,
+                             intg, uv_ref[:], w_ref[:])
+    camvals_ref[:] = outs[0]
+    ptvals_ref[:] = outs[1]
+    wc_ref[:] = outs[2].astype(wc_ref.dtype)
+    if refine:
+        grpvals_ref[:] = outs[3]
+        wg_ref[:] = outs[4].astype(wg_ref.dtype)
+
+
+def _oh_dot_t(vals: jnp.ndarray, onehot: jnp.ndarray):
+    """Exact-f32 (k, N) = vals (k, M) @ onehot (M, N) at bf16 MXU rate."""
+    hi, mid, lo = _split3(vals)
+    oh = onehot if onehot.dtype == jnp.bfloat16 else onehot.astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+
+    def d(v):
+        return jax.lax.dot_general(v, oh, dn, preferred_element_type=jnp.float32)
+
+    return d(hi) + d(mid) + d(lo)
+
+
+@partial(jax.jit, static_argnames=("refine", "refine_mask", "huber_delta",
+                                   "interpret", "w_dtype"))
+def linearize_radial3_t(camtab: jnp.ndarray, grptab: jnp.ndarray,
+                        pts_rank: jnp.ndarray, obs_cam: jnp.ndarray,
+                        obs_grp: jnp.ndarray, ranks: jnp.ndarray,
+                        obs_uvT: jnp.ndarray, obs_w: jnp.ndarray,
+                        refine: bool, refine_mask: tuple, huber_delta: float,
+                        interpret: bool = False, w_dtype: str = "f32"):
+    """T-layout fused linearization.  Same contract as linearize_radial3
+    except obs_uvT is (2, O) and the outputs are TRANSPOSED value tables:
+    (camvalsT (43|85, O), ptvalsT (12, O), wcT (18, O)[, grpvalsT, wgT])."""
+    if interpret:
+        # Interpret mode cannot lower lane-dim dynamic ref slices; delegate
+        # to the (independently verified) sublane kernels + transposes.
+        outs = linearize_radial3(camtab, grptab, pts_rank, obs_cam, obs_grp,
+                                 ranks, obs_uvT.T, obs_w, refine=refine,
+                                 refine_mask=refine_mask,
+                                 huber_delta=huber_delta, interpret=True,
+                                 w_dtype=w_dtype)
+        return tuple(o.T for o in outs)
+    o = ranks.shape[0]
+    c = camtab.shape[0]
+    g = grptab.shape[0]
+    p = pts_rank.shape[0]
+    c_p = _ceil_to(max(c, 1), 8)
+    g_p = _ceil_to(max(g, 1), 8)
+    p_tab = _ceil_to(max(p, 1), B) + B
+    o_p = _ceil_to(max(o, 1), BL_T)
+
+    def padT(x, width):  # (k, O) -> (k, o_p)
+        padn = o_p - x.shape[1]
+        if padn <= 0:
+            return x
+        return jnp.pad(x, ((0, 0), (0, padn)), constant_values=width)
+
+    ranks_p = padT(ranks.astype(jnp.int32).reshape(1, -1), p_tab - B)
+    cam_p = padT(obs_cam.astype(jnp.int32).reshape(1, -1), c_p)
+    grp_p = padT(obs_grp.astype(jnp.int32).reshape(1, -1), g_p)
+    uv_p = padT(obs_uvT.astype(jnp.float32), 0)
+    w_p = padT(obs_w.astype(jnp.float32).reshape(1, -1), 0)
+    camtabT = _pad_rows(camtab.astype(jnp.float32), c_p).T  # (21, c_p)
+    grptabT = _pad_rows(grptab.astype(jnp.float32), g_p).T  # (7, g_p)
+    ptsT = _pad_rows(pts_rank.astype(jnp.float32), p_tab).T  # (3, p_tab)
+    wstart = jnp.minimum(ranks_p[0, ::B] // B, p_tab // B - 2).astype(jnp.int32)
+
+    cam_w = 85 if refine else 43
+    wdt = jnp.bfloat16 if w_dtype == "bf16" else jnp.float32
+    widths = [cam_w, 12, 18] + ([56, 21] if refine else [])
+    dts = [jnp.float32, jnp.float32, wdt] + ([jnp.float32, wdt] if refine
+                                             else [])
+    outs = pl.pallas_call(
+        partial(_linearize_t_kernel, refine, float(huber_delta),
+                tuple(refine_mask), 1e-8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(o_p // BL_T,),
+            in_specs=[
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LIN_CAM_DIM, c_p), lambda s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((7, g_p), lambda s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, p_tab), lambda s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((wd, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM)
+                for wd in widths
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((wd, o_p), dt)
+                   for wd, dt in zip(widths, dts)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart, ranks_p, cam_p, grp_p, uv_p, w_p, camtabT, grptabT, ptsT)
+    return tuple(out[:, :o] for out in outs)
+
+
+def _segsum_table_t_kernel(idx_ref, vals_ref, out_ref):
+    """out (k, n) += vals (k, BL) @ onehotT (BL, n); idx block (BL, 1)."""
+    n = out_ref.shape[1]
+    idx = idx_ref[:]  # (BL, 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    onehot = (cols == idx).astype(jnp.bfloat16)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += _oh_dot_t(vals_ref[:], onehot)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def segsum_table_t(valsT: jnp.ndarray, idx: jnp.ndarray, n: int,
+                   interpret: bool = False):
+    """T-layout segment sum: valsT (k, O), idx (O,) -> (n, k).
+    The contraction (k, BL) @ (BL, n) is an MXU-friendly small-M matmul
+    (vs the sublane kernel's narrow outputs)."""
+    if interpret:
+        return segsum_table(valsT.T, idx, n, interpret=True)
+    k, o = valsT.shape
+    o_p = _ceil_to(max(o, 1), BL_T)
+    n_p = _ceil_to(max(n, 1), 8)
+    idx_p = _pad_rows(idx.astype(jnp.int32).reshape(-1, 1), o_p, value=n_p)
+    vals_p = jnp.pad(valsT, ((0, 0), (0, o_p - o))) if o_p > o else valsT
+    out = pl.pallas_call(
+        _segsum_table_t_kernel,
+        grid=(o_p // BL_T,),
+        in_specs=[
+            pl.BlockSpec((BL_T, 1), lambda s: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, BL_T), lambda s: (0, s), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, n_p), lambda s: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n_p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(idx_p, vals_p)
+    return out[:, :n].T
+
+
+def _segsum_sorted_t_kernel(wstart_ref, ranks_ref, vals_ref, out_ref):
+    """out (k, p_tab) windows += vals_k (k, B) @ onehotT (B, 2B)."""
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for kk in range(NSUB_T):
+        base = wstart_ref[s * NSUB_T + kk] * B
+        rk = ranks_ref[pl.ds(kk * B, B), :]          # (B, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * B), 1)
+        onehot = (cols == (rk - base)).astype(jnp.bfloat16)
+        vals_k = vals_ref[:, pl.ds(kk * B, B)]       # (k, B)
+        out_ref[:, pl.ds(base, 2 * B)] += _oh_dot_t(vals_k, onehot)
+
+
+@partial(jax.jit, static_argnames=("p", "interpret"))
+def segsum_sorted_t(valsT: jnp.ndarray, idx_sorted: jnp.ndarray, p: int,
+                    interpret: bool = False):
+    """T-layout sorted segment sum: valsT (k, O), dense sorted ranks ->
+    (p, k).  Resident (k, p_tab) accumulator, lane-window scatters."""
+    if interpret:
+        return segsum_sorted(valsT.T, idx_sorted, p, interpret=True)
+    k, o = valsT.shape
+    o_p = _ceil_to(max(o, 1), BL_T)
+    p_tab = _ceil_to(max(p, 1), B) + B
+    idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
+                      value=p_tab - B)
+    vals_p = jnp.pad(valsT, ((0, 0), (0, o_p - o))) if o_p > o else valsT
+    wstart = jnp.minimum(idx_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
+    out = pl.pallas_call(
+        _segsum_sorted_t_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(o_p // BL_T,),
+            in_specs=[
+                pl.BlockSpec((BL_T, 1), lambda s, ws: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k, p_tab), lambda s, ws: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, p_tab), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart, idx_p, vals_p)
+    return out[:, :p].T
+
+
+def _schur_fwd_t_kernel(wstart_ref, ranks_ref, cam_ref, w_ref, vtabT_ref,
+                        out_ref):
+    """T-layout fused W^T v: out (3, p_tab) windows accumulate."""
+    s = pl.program_id(0)
+    ncam = vtabT_ref.shape[1]
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    cam = cam_ref[:]  # (1, BL) lanes
+    rowsC = jax.lax.broadcasted_iota(jnp.int32, (ncam, BL_T), 0)
+    onehot_c = (rowsC == cam).astype(jnp.bfloat16)
+    vg = _oh_dot_t(vtabT_ref[:], onehot_c)          # (6, BL)
+    w = w_ref[:].astype(jnp.float32)                # (18, BL)
+    wv = jnp.concatenate([
+        sum(w[d * 3 + kk:d * 3 + kk + 1, :] * vg[d:d + 1, :]
+            for d in range(6))
+        for kk in range(3)
+    ], axis=0)                                      # (3, BL)
+
+    for kk in range(NSUB_T):  # static unroll: wv slices must be static
+        base = wstart_ref[s * NSUB_T + kk] * B
+        rk = ranks_ref[pl.ds(kk * B, B), :]          # (B, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * B), 1)
+        onehot = (cols == (rk - base)).astype(jnp.bfloat16)
+        wv_k = wv[:, kk * B:(kk + 1) * B]
+        out_ref[:, pl.ds(base, 2 * B)] += _oh_dot_t(wv_k, onehot)
+
+
+@partial(jax.jit, static_argnames=("p", "interpret"))
+def schur_fwd_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
+                idx_sorted: jnp.ndarray, vtab: jnp.ndarray, p: int,
+                interpret: bool = False):
+    """T-layout schur_fwd: wT (3D, O) [f32 or bf16], obs_cam (O,), sorted
+    dense ranks, vtab (C, D) -> (p, 3) per-rank sums."""
+    dd3, o = wT.shape
+    c = vtab.shape[0]
+    o_p = _ceil_to(max(o, 1), BL_T)
+    p_tab = _ceil_to(max(p, 1), B) + B
+    c_p = _ceil_to(max(c, 1), 8)
+    ranks_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
+                        value=p_tab - B)
+    cam_p = jnp.pad(obs_cam.astype(jnp.int32).reshape(1, -1),
+                    ((0, 0), (0, o_p - o)), constant_values=c_p) \
+        if o_p > o else obs_cam.astype(jnp.int32).reshape(1, -1)
+    w_p = jnp.pad(wT, ((0, 0), (0, o_p - o))) if o_p > o else wT
+    vtabT = _pad_rows(vtab.astype(jnp.float32), c_p).T  # (D, c_p)
+    wstart = jnp.minimum(ranks_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
+    out = pl.pallas_call(
+        _schur_fwd_t_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(o_p // BL_T,),
+            in_specs=[
+                pl.BlockSpec((BL_T, 1), lambda s, ws: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dd3, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dd3 // 3, c_p), lambda s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3, p_tab), lambda s, ws: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, p_tab), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart, ranks_p, cam_p, w_p, vtabT)
+    return out[:, :p].T
+
+
+def _schur_bwd_t_kernel(wstart_ref, ranks_ref, cam_ref, w_ref, ztabT_ref,
+                        out_ref):
+    """T-layout fused b_c: zg windows gathered on lanes, camera reduce as
+    (D, BL) @ onehotT (BL, n)."""
+    s = pl.program_id(0)
+    n = out_ref.shape[1]
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rk = ranks_ref[:]  # (1, BL) lanes
+    zgs = []
+    for kk in range(NSUB_T):
+        base = wstart_ref[s * NSUB_T + kk] * B
+        win = ztabT_ref[:, pl.ds(base, 2 * B)]       # (3, 2B)
+        rk_k = rk[:, kk * B:(kk + 1) * B]            # (1, B)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+        onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+        zgs.append(_oh_dot_t(win, onehot))           # (3, B)
+    zg = jnp.concatenate(zgs, axis=1)                # (3, BL)
+
+    w = w_ref[:].astype(jnp.float32)                 # (18, BL)
+    bk = jnp.concatenate([
+        sum(w[d * 3 + kk:d * 3 + kk + 1, :] * zg[kk:kk + 1, :]
+            for kk in range(3))
+        for d in range(6)
+    ], axis=0)                                       # (6, BL)
+
+    cam = cam_ref[:]  # (BL, 1) column
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cam.shape[0], n), 1)
+    onehot_c = (cols == cam).astype(jnp.bfloat16)
+    out_ref[:] += _oh_dot_t(bk, onehot_c)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def schur_bwd_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
+                idx_sorted: jnp.ndarray, ztab: jnp.ndarray, n: int,
+                interpret: bool = False):
+    """T-layout schur_bwd: wT (3D, O), sorted dense ranks into ztab (P, 3),
+    obs_cam (O,) -> (n, D)."""
+    if interpret:
+        return schur_bwd(wT.T, obs_cam, idx_sorted, ztab, n, interpret=True)
+    dd3, o = wT.shape
+    p_z = ztab.shape[0]
+    o_p = _ceil_to(max(o, 1), BL_T)
+    p_tab = _ceil_to(max(p_z, 1), B) + B
+    n_p = _ceil_to(max(n, 1), 8)
+    ranks_l = jnp.pad(idx_sorted.astype(jnp.int32).reshape(1, -1),
+                      ((0, 0), (0, o_p - o)), constant_values=p_tab - B) \
+        if o_p > o else idx_sorted.astype(jnp.int32).reshape(1, -1)
+    cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p,
+                      value=n_p)
+    w_p = jnp.pad(wT, ((0, 0), (0, o_p - o))) if o_p > o else wT
+    ztabT = _pad_rows(ztab.astype(jnp.float32), p_tab).T  # (3, p_tab)
+    wstart = jnp.minimum(ranks_l[0, ::B] // B, p_tab // B - 2).astype(jnp.int32)
+    out = pl.pallas_call(
+        _schur_bwd_t_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(o_p // BL_T,),
+            in_specs=[
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BL_T, 1), lambda s, ws: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dd3, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, p_tab), lambda s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((dd3 // 3, n_p), lambda s, ws: (0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((dd3 // 3, n_p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart, ranks_l, cam_p, w_p, ztabT)
+    return out[:, :n].T
