@@ -61,6 +61,13 @@ class DenseConfig:
     # fine; per-view dispatch costs only host-loop overhead (~ms) against
     # seconds of PM compute.
     pm_batch_px: int = 200_000
+    # Coarse-to-fine PatchMatch above this many pixels per view: the full
+    # candidate schedule runs at HALF resolution (1/4 the sampling cost),
+    # then one fine full-resolution iteration with the reduced candidate
+    # set polishes the upsampled planes.  OpenMVS densifies multi-scale the
+    # same way.
+    pm_multiscale: bool = True
+    pm_coarse_px: int = 120_000
 
 
 def _box_mean(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -316,6 +323,29 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
         norm_j = jnp.asarray(norm_images)
         imgs_j = jnp.asarray(images) if cfg.patchmatch else None
         Ks_j = jnp.asarray(Ks)
+        pm_ms = (cfg.patchmatch and cfg.pm_multiscale
+                 and H * W > cfg.pm_coarse_px)
+        if pm_ms:
+            H2, W2 = H // 2, W // 2
+            imgs_half_j = jnp.asarray(
+                images[:, :H2 * 2, :W2 * 2].reshape(V, H2, 2, W2, 2).mean((2, 4)))
+            Ks_half = Ks.copy()
+            # Pixel-center mapping u_half = (u_full - 0.5) / 2.
+            Ks_half[:, 0, 0] /= 2
+            Ks_half[:, 1, 1] /= 2
+            Ks_half[:, 0, 2] = (Ks[:, 0, 2] - 0.5) / 2
+            Ks_half[:, 1, 2] = (Ks[:, 1, 2] - 0.5) / 2
+            Ks_half_j = jnp.asarray(Ks_half)
+
+            def up2(x):
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                ph = H - x.shape[1]
+                pw = W - x.shape[2]
+                if ph > 0 or pw > 0:
+                    widths = [(0, 0), (0, max(ph, 0)), (0, max(pw, 0))]
+                    widths += [(0, 0)] * (x.ndim - 3)
+                    x = jnp.pad(x, widths, mode="edge")
+                return x[:, :H, :W]
         for s in range(0, len(computed), B):
             sl = slice(s, s + B)
             n_sl = len(computed[sl])
@@ -335,9 +365,32 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
                 d, c = dist_dense.plane_sweep_all_views(
                     norm_j, Ks_j, *args, cfg=cfg)
             if cfg.patchmatch:
+                import dataclasses as _dc
+
                 keys = jax.random.split(jax.random.fold_in(key, s), B)
                 inv_init = 1.0 / jnp.maximum(d, 1e-9)
                 lo_p, hi_p = pad(inv_lo), pad(inv_hi)
+                n_up = None
+                fine_cfg = cfg.pm
+                if pm_ms:
+                    # Coarse level: full candidate schedule at half res,
+                    # batched (quarter the pixels — fits one dispatch).
+                    keys_c = jax.random.split(
+                        jax.random.fold_in(key, 100003 + s), B)
+                    c_args = (args[0], args[1], args[2],
+                              inv_init[:, ::2, ::2], lo_p, hi_p, keys_c)
+                    if mesh is not None:
+                        dch, _cch, nch = dist_dense.patchmatch_sharded(
+                            mesh, imgs_half_j, Ks_half_j, *c_args,
+                            pm_cfg=cfg.pm)
+                    else:
+                        dch, _cch, nch = dist_dense.patchmatch_all_views(
+                            imgs_half_j, Ks_half_j, *c_args, pm_cfg=cfg.pm)
+                    inv_init = jnp.clip(up2(1.0 / jnp.maximum(dch, 1e-9)),
+                                        lo_p[:, None, None],
+                                        hi_p[:, None, None])
+                    n_up = up2(nch)
+                    fine_cfg = _dc.replace(cfg.pm, n_iters=1, fine=True)
                 # One view per device at high resolution (see pm_batch_px).
                 pm_B = B if H * W <= cfg.pm_batch_px else max(n_dev, 1)
                 d_parts, c_parts = [], []
@@ -345,12 +398,15 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
                     qs = slice(q, q + pm_B)
                     pm_args = (args[0][qs], args[1][qs], args[2][qs],
                                inv_init[qs], lo_p[qs], hi_p[qs], keys[qs])
+                    n0 = None if n_up is None else n_up[qs]
                     if mesh is not None:
-                        dq, cq = dist_dense.patchmatch_sharded(
-                            mesh, imgs_j, Ks_j, *pm_args, pm_cfg=cfg.pm)
+                        dq, cq, _nq = dist_dense.patchmatch_sharded(
+                            mesh, imgs_j, Ks_j, *pm_args, pm_cfg=fine_cfg,
+                            n_init=n0)
                     else:
-                        dq, cq = dist_dense.patchmatch_all_views(
-                            imgs_j, Ks_j, *pm_args, pm_cfg=cfg.pm)
+                        dq, cq, _nq = dist_dense.patchmatch_all_views(
+                            imgs_j, Ks_j, *pm_args, pm_cfg=fine_cfg,
+                            n_init=n0)
                     d_parts.append(dq)
                     c_parts.append(cq)
                 d = jnp.concatenate(d_parts)

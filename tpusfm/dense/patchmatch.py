@@ -64,6 +64,11 @@ class PatchMatchConfig:
     cost_invalid: float = 2.0
     min_ndotr: float = 0.05     # reject grazing plane/ray intersections
     min_sigma: float = 1e-3     # reject textureless NCC windows
+    # Fine-level candidate set (coarse-to-fine): after a good coarse init,
+    # drop the full-range random restart and the normal-only perturbation —
+    # 5 candidates instead of 7 (the neighbors + a small joint perturb
+    # polish the upsampled solution).
+    fine: bool = False
 
 
 def _window_offsets(cfg: PatchMatchConfig) -> list[tuple[int, int]]:
@@ -232,6 +237,9 @@ def patchmatch_refine(
     inv_hi: jnp.ndarray,      # scalar: max inverse depth
     key: jnp.ndarray,
     cfg: PatchMatchConfig = PatchMatchConfig(),
+    n_init: jnp.ndarray | None = None,  # (H, W, 3) normal init (e.g. an
+                                        # upsampled coarse level); None =
+                                        # fronto-parallel
 ):
     """Refine a fronto-parallel depth init into slanted-plane depth.
 
@@ -241,8 +249,11 @@ def patchmatch_refine(
         ref_img = jnp.pad(ref_img, ((0, 0), (0, 1)), mode="edge")
         src_imgs = jnp.pad(src_imgs, ((0, 0), (0, 0), (0, 1)), mode="edge")
         inv_d_init = jnp.pad(inv_d_init, ((0, 0), (0, 1)), mode="edge")
+        if n_init is not None:
+            n_init = jnp.pad(n_init, ((0, 0), (0, 1), (0, 0)), mode="edge")
         d, c, n = patchmatch_refine(ref_img, src_imgs, K, K_src, R_rel, t_rel,
-                                    inv_d_init, inv_lo, inv_hi, key, cfg)
+                                    inv_d_init, inv_lo, inv_hi, key, cfg,
+                                    n_init)
         return d[:, :W], c[:, :W], n[:, :W]
 
     Wh = W // 2
@@ -285,7 +296,11 @@ def patchmatch_refine(
                            _gather_cols(var_r, cols), **cost_kw)
         return c_a, cols
 
-    n0 = jnp.zeros((H, W, 3)).at[..., 2].set(-1.0)  # fronto-parallel
+    if n_init is None:
+        n0 = jnp.zeros((H, W, 3)).at[..., 2].set(-1.0)  # fronto-parallel
+    else:
+        nl = jnp.linalg.norm(n_init, axis=-1, keepdims=True)
+        n0 = n_init / jnp.maximum(nl, 1e-9)
     inv0 = jnp.clip(inv_d_init, inv_lo, inv_hi)
     c0_full = _plane_from_state(inv0, n0, rpx, rpy)
     # Initial cost: one evaluation per parity, scattered into the full grid.
@@ -333,15 +348,16 @@ def patchmatch_refine(
         n_p = _perturb_normal(k2, n_a, cfg.perturb_normal_deg * scale)
         cand_n.append(n_p)
         cand_c.append(_plane_from_state(inv_p, n_p, rpx_a, rpy_a))
-        # Random restart (full-range exploration).
-        inv_r = inv_lo + (inv_hi - inv_lo) * jax.random.uniform(k3, sh)
-        n_r = _random_unit_normal(k4, sh)
-        cand_n.append(n_r)
-        cand_c.append(_plane_from_state(inv_r, n_r, rpx_a, rpy_a))
-        # Normal-only perturbation at the current depth.
-        n_o = _perturb_normal(k5, n_a, cfg.perturb_normal_deg * scale)
-        cand_n.append(n_o)
-        cand_c.append(_plane_from_state(inv_a, n_o, rpx_a, rpy_a))
+        if not cfg.fine:
+            # Random restart (full-range exploration).
+            inv_r = inv_lo + (inv_hi - inv_lo) * jax.random.uniform(k3, sh)
+            n_r = _random_unit_normal(k4, sh)
+            cand_n.append(n_r)
+            cand_c.append(_plane_from_state(inv_r, n_r, rpx_a, rpy_a))
+            # Normal-only perturbation at the current depth.
+            n_o = _perturb_normal(k5, n_a, cfg.perturb_normal_deg * scale)
+            cand_n.append(n_o)
+            cand_c.append(_plane_from_state(inv_a, n_o, rpx_a, rpy_a))
 
         def eval_cand(st, cand):
             inv_b, n_b, cost_b = st

@@ -72,47 +72,63 @@ def plane_sweep_sharded(
 
 
 def _pm_packed(imgs_raw, Ks, sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi,
-               keys, pm_cfg):
+               keys, pm_cfg, n_init=None):
     from ..dense import patchmatch as pm_mod
 
-    def one(s, Rr, tr, d0, lo, hi, k):
+    if n_init is None:
+        def one(s, Rr, tr, d0, lo, hi, k):
+            ref = imgs_raw[s[-1]]
+            srcs = imgs_raw[s[:-1]]
+            return pm_mod.patchmatch_refine(
+                ref, srcs, Ks[s[-1]], Ks[s[:-1]], Rr, tr, d0, lo, hi, k,
+                pm_cfg)
+
+        return jax.vmap(one)(sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi,
+                             keys)
+
+    def one_n(s, Rr, tr, d0, lo, hi, k, n0):
         ref = imgs_raw[s[-1]]
         srcs = imgs_raw[s[:-1]]
         return pm_mod.patchmatch_refine(
-            ref, srcs, Ks[s[-1]], Ks[s[:-1]], Rr, tr, d0, lo, hi, k, pm_cfg)
+            ref, srcs, Ks[s[-1]], Ks[s[:-1]], Rr, tr, d0, lo, hi, k, pm_cfg,
+            n0)
 
-    d, c, _n = jax.vmap(one)(sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi, keys)
-    return d, c
+    return jax.vmap(one_n)(sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi,
+                           keys, n_init)
 
 
 def patchmatch_all_views(images_raw, Ks, src_idx, R_rel, t_rel, inv_init,
-                         inv_lo, inv_hi, keys, pm_cfg):
+                         inv_lo, inv_hi, keys, pm_cfg, n_init=None):
     """Packed PatchMatch refinement over a batch of reference views.
     inv_init (V, H, W) is the plane-sweep inverse-depth init; inv_lo/inv_hi
-    (V,) the per-view search range."""
+    (V,) the per-view search range.  Returns (depth, cost, normals)."""
     return _pm_packed(images_raw, Ks, src_idx, R_rel, t_rel, inv_init,
-                      inv_lo, inv_hi, keys, pm_cfg)
+                      inv_lo, inv_hi, keys, pm_cfg, n_init)
 
 
 def patchmatch_sharded(mesh: Mesh, images_raw, Ks, src_idx, R_rel, t_rel,
                        inv_init, inv_lo, inv_hi, keys, pm_cfg,
-                       axis: str = "shard"):
-    """Packed PatchMatch with the view axis sharded over the mesh."""
+                       n_init=None, axis: str = "shard"):
+    """Packed PatchMatch with the view axis sharded over the mesh.
+    Returns (depth, cost, normals)."""
     n_dev = mesh.shape[axis]
     assert src_idx.shape[0] % n_dev == 0
+    with_n = n_init is not None
 
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)),
+                  P(axis), P(axis)) + ((P(axis),) if with_n else ()),
+        out_specs=(P(axis), P(axis), P(axis)),
     )
-    def _run(imgs, K_, sidx, Rr, tr, d0, lo, hi, ks):
-        return _pm_packed(imgs, K_, sidx, Rr, tr, d0, lo, hi, ks, pm_cfg)
+    def _run(imgs, K_, sidx, Rr, tr, d0, lo, hi, ks, *maybe_n):
+        return _pm_packed(imgs, K_, sidx, Rr, tr, d0, lo, hi, ks, pm_cfg,
+                          maybe_n[0] if maybe_n else None)
 
-    return jax.jit(_run)(images_raw, Ks, src_idx, R_rel, t_rel, inv_init,
-                         inv_lo, inv_hi, keys)
+    args = (images_raw, Ks, src_idx, R_rel, t_rel, inv_init, inv_lo, inv_hi,
+            keys) + ((n_init,) if with_n else ())
+    return jax.jit(_run)(*args)
 
 
 def pack_sweep_inputs(scene, views, cfg: depth_mod.DenseConfig, n_planes: int,
