@@ -55,9 +55,12 @@ class IncrementalConfig:
     # triangulation + BA-cadence step per cycle).  The reference registers
     # strictly one view at a time (SequentialActuator.h:138); batching k
     # independent resections against the same map is equivalent per view and
-    # cuts host<->device round-trips ~k-fold (each costs ~30 ms on the
-    # remote tunnel).  1 = reference-faithful sequential order.
-    register_batch: int = 4
+    # cuts host<->device round-trips ~k-fold (each costs ~25-30 ms on the
+    # remote tunnel).  1 = reference-faithful sequential order.  Measured at
+    # the 20-view bench: batch 8 vs 4 is 7.50 vs 6.41 fps at identical
+    # registration/ATE (the dispatch floor dominates the reconstruction
+    # stage on this backend).
+    register_batch: int = 8
     ba_every: int = 4                   # global BA every k registrations
     final_ba_iters: int = 25
     step_ba_iters: int = 8
