@@ -21,6 +21,27 @@ src/sparseBuilder/sparseBuilder.cpp:480-482).
 
 Only the ≥2-view-visible points are exported, sorted tracks, like the
 reference's vertex filter (DenseBuilder.h:129-135).
+
+Downstream usage (the exact invocation replacing the reference's
+``system("openMVG_main_openMVG2openMVS ...")`` + ``DensifyPointCloud`` chain,
+src/main.cpp:157-162): lay the export out as a COLMAP project —
+
+    project/
+      images/           the undistorted input images (undistort_image())
+      sparse/           cameras.txt images.txt points3D.txt  (this module)
+
+then convert and densify with stock OpenMVS:
+
+    InterfaceCOLMAP -w project -i . -o scene.mvs
+    DensifyPointCloud -w project scene.mvs
+
+Format fidelity is pinned by a committed golden model authored from the
+COLMAP text spec (tests/golden/colmap_text — includes COLMAP's
+``# Number of ...`` header lines, ``-1`` POINT3D_IDs for unmatched
+keypoints, and non-contiguous camera/image/point IDs), round-tripped
+byte-stably in tests/test_colmap.py.  No external COLMAP/OpenMVS binary
+exists in this image (zero egress), so spec-golden + byte-stable
+round-trip is the strongest available interchange proof.
 """
 
 from __future__ import annotations
