@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import lie
-from .patchmatch import PatchMatchConfig
+from .patchmatch import PatchMatchConfig, bilinear_flat
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,18 +121,11 @@ def plane_sweep_depth(
         v = uv[:, 1] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
         inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 0)
 
-        def sample(img, vv, uu):
-            v0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, H - 2)
-            u0 = jnp.clip(jnp.floor(uu).astype(jnp.int32), 0, W - 2)
-            fv = jnp.clip(vv - v0, 0.0, 1.0)
-            fu = jnp.clip(uu - u0, 0.0, 1.0)
-            a = img[v0, u0]
-            b = img[v0, u0 + 1]
-            c = img[v0 + 1, u0]
-            d = img[v0 + 1, u0 + 1]
-            return a * (1 - fv) * (1 - fu) + b * (1 - fv) * fu + c * fv * (1 - fu) + d * fv * fu
-
-        warped = jax.vmap(sample)(src_imgs, v, u)  # (S, HW)
+        # Single-row flat take_along_axis sampling: 20x the 2D advanced-
+        # indexing gather rate on TPU (dense/patchmatch.bilinear_flat).
+        src_off = (jnp.arange(src_imgs.shape[0], dtype=jnp.int32)
+                   * (H * W))[:, None]
+        warped = bilinear_flat(src_imgs.reshape(1, -1), src_off, v, u, H, W)
         warped = warped.reshape(-1, H, W)
         inb = inb.reshape(-1, H, W)
         # NCC via box-filtered product of pre-normalized images: in [-1, 1].
@@ -256,7 +249,8 @@ def consistency_filter(
             inb = (un >= 0) & (un <= W - 1) & (vn >= 0) & (vn <= H - 1) & (zn > 0)
             ui = jnp.clip(jnp.round(un).astype(jnp.int32), 0, W - 1)
             vi = jnp.clip(jnp.round(vn).astype(jnp.int32), 0, H - 1)
-            dn = depths[nv][vi, ui]
+            idx = (nv * (H * W) + vi * W + ui).reshape(1, -1)
+            dn = jnp.take_along_axis(depths.reshape(1, -1), idx, axis=1)[0]
             ok = inb & (dn > 0) & (jnp.abs(dn - zn) < cfg.rel_depth_tol * zn)
             return ok
 

@@ -103,15 +103,31 @@ def _shift_edge(img, dy: int, dx: int):
 def _bilinear(img, vv, uu):
     """Sample img (H, W) at float coords (vv, uu) of any shape (clamped)."""
     H, W = img.shape
+    return bilinear_flat(img.reshape(1, -1), 0, vv, uu, H, W)
+
+
+def bilinear_flat(flat, src_off, vv, uu, H: int, W: int):
+    """Bilinear sample from a FLATTENED single-row image stack.
+
+    flat (1, S*H*W); src_off = s*H*W per element (broadcastable to vv);
+    vv/uu float coords of any shape.  All four taps ride ONE
+    take_along_axis call on the single-row operand — measured 1.8 G
+    gathers/s on v5e vs 88 M gathers/s for 2D advanced indexing and 120 M/s
+    for flat `arr[idx]` (scripts/gather_ab.py, scripts/gather_ab3.py): XLA's
+    single-batch-row take_along_axis hits a vectorized TPU gather emitter
+    that the general gather path misses.  20x faster bilinear sampling —
+    the round-3 "~70M gathers/s floor" (PERF.md) was an artifact of the
+    gather FORM, not a hardware limit."""
     v0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, H - 2)
     u0 = jnp.clip(jnp.floor(uu).astype(jnp.int32), 0, W - 2)
     fv = jnp.clip(vv - v0, 0.0, 1.0)
     fu = jnp.clip(uu - u0, 0.0, 1.0)
-    a = img[v0, u0]
-    b = img[v0, u0 + 1]
-    c = img[v0 + 1, u0]
-    e = img[v0 + 1, u0 + 1]
-    return a * (1 - fv) * (1 - fu) + b * (1 - fv) * fu + c * fv * (1 - fu) + e * fv * fu
+    base = src_off + v0 * W + u0
+    sh = base.shape
+    idx = jnp.stack([base, base + 1, base + W, base + W + 1], 0).reshape(1, -1)
+    g = jnp.take_along_axis(flat, idx, axis=1).reshape((4,) + sh)
+    return (g[0] * (1 - fv) * (1 - fu) + g[1] * (1 - fv) * fu
+            + g[2] * fv * (1 - fu) + g[3] * fv * fu)
 
 
 def _parity_cols(H: int, Wh: int, phase) -> jnp.ndarray:
@@ -199,7 +215,9 @@ def _cost_active(n_a, c_a, xs_a, ys_a, rv_stack, mr_a, varr_a, src_imgs,
         us = Xs[..., 0] / zsafe * fxs[:, None, None] + cxs[:, None, None]
         vs = Xs[..., 1] / zsafe * fys[:, None, None] + cys[:, None, None]
         inb = (us >= 0) & (us <= W - 1) & (vs >= 0) & (vs <= H - 1) & (z > 0) & safe
-        sv = jax.vmap(_bilinear)(src_imgs, vs, us)  # (S, H, Wh)
+        S_n = src_imgs.shape[0]
+        src_off = (jnp.arange(S_n, dtype=jnp.int32) * (H * W))[:, None, None]
+        sv = bilinear_flat(src_imgs.reshape(1, -1), src_off, vs, us, H, W)
         sv = jnp.where(inb, sv, 0.0)
         return (
             s_s + sv, s_ss + sv * sv, s_rs + sv * rv[None],

@@ -87,9 +87,12 @@ def _match_chunk_xla(da, db, ma, mb, ratio, cross_check):
 def _match_chunk_pallas(da, db, ma, mb, ratio, cross_check):
     from ..ops import pallas_match
 
+    # quantized=True: SIFT descriptors are u8-grid (features/sift.py x512
+    # RootSIFT quantization), so the kernel's bf16 MXU path is bit-exact.
     return jax.vmap(
         lambda a, b, m_a, m_b: pallas_match.match_descriptors_pallas(
-            a, b, m_a, m_b, ratio=ratio, cross_check=cross_check
+            a, b, m_a, m_b, ratio=ratio, cross_check=cross_check,
+            quantized=True
         )
     )(da, db, ma, mb)
 
