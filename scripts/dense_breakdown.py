@@ -30,13 +30,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _force(out):
+    x = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(x[:1] if getattr(x, "ndim", 0) else x)
+
+
 def timed(name, fn, *args, reps=1):
     out = fn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0][:1])
+    _ = _force(out)
     t0 = time.time()
     for _i in range(reps):
         out = fn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0][:1])
+        _ = _force(out)
     dt = (time.time() - t0) / reps
     print(f"{name:34s} {dt*1e3:10.1f} ms", flush=True)
     return dt
@@ -119,8 +124,7 @@ def main():
 
     sweep1 = jax.jit(lambda *a: dense_depth.plane_sweep_depth(
         *a, cfg=cfg))
-    d1, _ = timed_out = None, None
-    t = timed("plane_sweep single 64pl", sweep1, jnp.asarray(norm[v]),
+    timed("plane_sweep single 64pl", sweep1, jnp.asarray(norm[v]),
               jnp.asarray(norm[srcs]), jnp.asarray(K),
               jnp.asarray(np.tile(K, (3, 1, 1))), jnp.asarray(R_rel),
               jnp.asarray(t_rel), jnp.asarray(inv_depths))

@@ -1,11 +1,13 @@
 #!/usr/bin/env python
 """Gather ablation round 2: how general is XLA's fast take_along_axis path?
 
-gather_ab.py found take_along_axis(axis=-1) on a (R, 640) operand runs at
-~1.05 G samples/s vs 133 M/s for random flat gathers.  This sweeps the
-operand WIDTH (row-local table size) up to the full flattened image to see
-whether arbitrary 2D sampling can be phrased as one wide row gather, and
-measures a full bilinear built from 4 wide take_along gathers.
+RESOLVED: the first run of this script (and gather_ab.py's tala_lane)
+reported 1.05-1.8 G samples/s for take_along_axis forms — those were
+HOISTING ARTIFACTS (gather indices were loop-invariant; XLA lifted the
+gather out of the 16-iteration timing loop).  With truly data-dependent
+indices every gather form measures ~90-135 M gathers/s: that IS the XLA
+per-element gather floor on this chip.  flat-index (~130 M/s) beats 2D
+advanced indexing (~88 M/s) by 1.4x; nothing beats it by more.
 
 Usage: python scripts/gather_ab3.py [cpu]
 """
@@ -53,6 +55,11 @@ def bench(name, fn, *args, n_samples=NS, iters=ITERS):
 
 
 def loop(body, iters=ITERS):
+    # CRITICAL: `idx + perturbation` must feed the body's GATHER INDICES —
+    # the first version of this script passed a perturbed arg some variants
+    # ignored, so their gathers were loop-invariant and XLA hoisted them out
+    # of the loop, fabricating 1.2-1.8 G samples/s "fast paths" (PERF.md
+    # measurement pitfall #3 in gather form).  True rates are ~90-135 M/s.
     def run(img, idx):
         def it(i, acc):
             return acc + body(img, idx + (acc * 1e-30).astype(idx.dtype))
@@ -85,21 +92,22 @@ def main():
     fv = jnp.asarray(vv)
     fu = jnp.asarray(uu)
 
-    def tala_flat_nearest(flat, _):
+    def tala_flat_nearest(flat, pert):
         v0 = jnp.clip(jnp.round(fv).astype(jnp.int32), 0, H - 1)
         u0 = jnp.clip(jnp.round(fu).astype(jnp.int32), 0, W - 1)
-        idx = (v0 * W + u0).reshape(1, -1)
+        idx = (v0 * W + u0 + pert).reshape(1, -1)
         return jnp.sum(jnp.take_along_axis(flat, idx, axis=1)) * 1e-30
 
     bench("tala_flat_nearest", loop(tala_flat_nearest), flat,
-          jnp.zeros((), jnp.int32))
+          jnp.zeros((), jnp.int32))  # pert stays 0 at runtime but is
+          # data-dependent, so the gather cannot be hoisted
 
-    def tala_flat_bilinear(flat, _):
+    def tala_flat_bilinear(flat, pert):
         v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, H - 2)
         u0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, W - 2)
         fvv = fv - v0
         fuu = fu - u0
-        base = (v0 * W + u0).reshape(1, -1)
+        base = (v0 * W + u0 + pert).reshape(1, -1)
         g = lambda off: jnp.take_along_axis(flat, base + off, axis=1)[0]
         a, b, c, d = g(0), g(1), g(W), g(W + 1)
         s = (a * (1 - fvv) * (1 - fuu) + b * (1 - fvv) * fuu
@@ -111,12 +119,12 @@ def main():
 
     # One fused 4-neighbour gather: indices interleaved so each bilinear
     # sample's 4 taps ride one take_along call of width 4*NS.
-    def tala_flat_bilinear1(flat, _):
+    def tala_flat_bilinear1(flat, pert):
         v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, H - 2)
         u0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, W - 2)
         fvv = fv - v0
         fuu = fu - u0
-        base = v0 * W + u0
+        base = v0 * W + u0 + pert
         idx = jnp.stack([base, base + 1, base + W, base + W + 1],
                         axis=0).reshape(1, -1)
         gg = jnp.take_along_axis(flat, idx, axis=1).reshape(4, -1)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import lie
-from .patchmatch import PatchMatchConfig, bilinear_flat
+from .patchmatch import PatchMatchConfig, make_sampler
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +45,12 @@ class DenseConfig:
     cost_thresh: float = 0.6    # max accepted (1 - NCC) cost
     depth_margin: float = 0.25  # widen the sparse depth range by this factor
     subsample: int = 1          # pixel stride for fusion
+    # Plane-warp sampling: "nearest" is 1 gather/sample vs bilinear's 4 —
+    # the sweep is gather-bound on TPU (~100-130 M gathers/s floor,
+    # scripts/gather_ab3.py) — and the box-filtered NCC plus parabolic
+    # sub-plane refinement absorb the half-pixel sampling noise (quality
+    # guard: tests/test_dense.py).  "bilinear" restores exact warps.
+    sweep_sampling: str = "up4"
     # Slanted-plane PatchMatch refinement of the plane-sweep init
     # (checkerboard propagation, tpusfm.dense.patchmatch) — removes the
     # fronto-parallel bias on oblique surfaces.  ON by default: the
@@ -110,6 +116,11 @@ def plane_sweep_depth(
     pix = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=0).reshape(3, -1)  # (3, HW)
     rays = Kinv @ pix  # (3, HW)
     w = cfg.window
+    # Flat take_along_axis sampling at 1 gather/sample (see
+    # PatchMatchConfig.sampling / dense/patchmatch.make_sampler — the sweep
+    # is gather-bound on TPU and parabolic sub-plane refinement absorbs the
+    # sub-pixel quantization).
+    sample = make_sampler(src_imgs, cfg.sweep_sampling)
 
     def cost_at_plane(inv_d):
         # Homography transfer: x_src ~ K_s (R_rel + t_rel * inv_d * n^T)
@@ -120,13 +131,8 @@ def plane_sweep_depth(
         u = uv[:, 0] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
         v = uv[:, 1] / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
         inb = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 0)
-
-        # Single-row flat take_along_axis sampling: 20x the 2D advanced-
-        # indexing gather rate on TPU (dense/patchmatch.bilinear_flat).
-        src_off = (jnp.arange(src_imgs.shape[0], dtype=jnp.int32)
-                   * (H * W))[:, None]
-        warped = bilinear_flat(src_imgs.reshape(1, -1), src_off, v, u, H, W)
-        warped = warped.reshape(-1, H, W)
+        warped = sample(v, u)  # (S, HW); coords clamp at edges, oob pixels
+        warped = warped.reshape(-1, H, W)  # are masked out of the cost below
         inb = inb.reshape(-1, H, W)
         # NCC via box-filtered product of pre-normalized images: in [-1, 1].
         ncc = _box_mean(warped * ref_img[None], w)

@@ -30,8 +30,17 @@ the TPU worker when vmapped over 2 views at 480x640):
     IMPROVES the recovered normals (corner samples have the largest slant
     lever arm) while cutting sampling cost 32%,
   - **unrolled offset loop**: the window loop is a static Python loop, so
-    the only remaining gathers per candidate are the unavoidable bilinear
+    the only remaining gathers per candidate are the unavoidable
     source-texture samples.
+
+Round-4 sampling redesign: XLA's per-element gather rate (~100-135 M/s on
+v5e, scripts/gather_ab3.py) IS the stage's wall clock, so the candidate
+evaluation samples with ONE gather each from a pre-upsampled source
+pyramid ("up8": 1/16-px effective precision, built by gather-free XLA
+resize convs) instead of 4-gather bilinear; the checkerboard parity
+gather/scatter is replaced by strided lane slices + selects (zero gather/
+scatter ops); and view batching uses lax.map, not vmap (batched operands
+knock XLA's gather lowering off its best path, ~1.45x).
 
 State per pixel: inverse depth + unit normal (a plane through the
 backprojected point).  Candidates per half-sweep: the 4 neighbor planes
@@ -69,6 +78,19 @@ class PatchMatchConfig:
     # 5 candidates instead of 7 (the neighbors + a small joint perturb
     # polish the upsampled solution).
     fine: bool = False
+    # Source sampling for candidate NCC evaluation.  XLA gathers are the
+    # stage's wall clock (~100-130 M gathers/s per-element floor on v5e,
+    # scripts/gather_ab3.py) and bilinear costs FOUR gathers per window
+    # sample:
+    #   "bilinear" — exact 4-tap sampling;
+    #   "nearest"  — 1 gather, half-pixel quantization (slant/normal
+    #                recovery degrades: 20 deg median vs 13 with bilinear);
+    #   "up2"/"up4" — 1 gather from a 2x/4x bilinearly pre-upsampled source
+    #                (jax.image.resize = gather-free convs, built once per
+    #                view): bilinear quantized to 1/2 / 1/4 px at nearest's
+    #                gather cost — the software form of texture-unit
+    #                filtering.  Quality guard: tests/test_patchmatch.py.
+    sampling: str = "up8"
 
 
 def _window_offsets(cfg: PatchMatchConfig) -> list[tuple[int, int]]:
@@ -111,13 +133,12 @@ def bilinear_flat(flat, src_off, vv, uu, H: int, W: int):
 
     flat (1, S*H*W); src_off = s*H*W per element (broadcastable to vv);
     vv/uu float coords of any shape.  All four taps ride ONE
-    take_along_axis call on the single-row operand — measured 1.8 G
-    gathers/s on v5e vs 88 M gathers/s for 2D advanced indexing and 120 M/s
-    for flat `arr[idx]` (scripts/gather_ab.py, scripts/gather_ab3.py): XLA's
-    single-batch-row take_along_axis hits a vectorized TPU gather emitter
-    that the general gather path misses.  20x faster bilinear sampling —
-    the round-3 "~70M gathers/s floor" (PERF.md) was an artifact of the
-    gather FORM, not a hardware limit."""
+    take_along_axis call on the single-row flattened operand — 135 M
+    gathers/s on v5e vs 88 M/s for 2D advanced indexing (scripts/
+    gather_ab.py, gather_ab3.py).  ~100-135 M gathers/s is the genuine XLA
+    per-element gather floor on this chip (every index form measures the
+    same once loop-hoisting artifacts are excluded); the bigger lever is
+    needing FEWER gathers — see make_sampler's "upN" modes."""
     v0 = jnp.clip(jnp.floor(vv).astype(jnp.int32), 0, H - 2)
     u0 = jnp.clip(jnp.floor(uu).astype(jnp.int32), 0, W - 2)
     fv = jnp.clip(vv - v0, 0.0, 1.0)
@@ -130,18 +151,90 @@ def bilinear_flat(flat, src_off, vv, uu, H: int, W: int):
             + g[2] * fv * (1 - fu) + g[3] * fv * fu)
 
 
-def _parity_cols(H: int, Wh: int, phase) -> jnp.ndarray:
-    """(H, Wh) x-coordinates of the active checkerboard cells for `phase`:
-    row y holds active columns x with (x + y) % 2 == phase."""
-    off = (jnp.arange(H, dtype=jnp.int32)[:, None] + phase) % 2
-    return 2 * jnp.arange(Wh, dtype=jnp.int32)[None, :] + off
+def nearest_flat(flat, src_off, vv, uu, H: int, W: int):
+    """Nearest-neighbour sample from a flattened single-row image stack —
+    one gather per sample (see bilinear_flat for the layout rationale)."""
+    v0 = jnp.clip(jnp.round(vv).astype(jnp.int32), 0, H - 1)
+    u0 = jnp.clip(jnp.round(uu).astype(jnp.int32), 0, W - 1)
+    idx = (src_off + v0 * W + u0).reshape(1, -1)
+    return jnp.take_along_axis(flat, idx, axis=1).reshape(vv.shape)
 
 
-def _gather_cols(x, cols):
-    """Gather active columns: x (H, W[, k]) -> (H, Wh[, k])."""
-    if x.ndim == 3:
-        return jnp.take_along_axis(x, cols[..., None], axis=1)
-    return jnp.take_along_axis(x, cols, axis=1)
+def make_sampler(src_imgs, mode: str):
+    """Build a per-source sampler `sample(vv, uu) -> values` over a source
+    stack (S, H, W); vv/uu are float pixel coords in the ORIGINAL
+    resolution with leading source axis (S, ...).
+
+    Modes (see PatchMatchConfig.sampling): "bilinear" (4 gathers/sample),
+    "nearest" (1 gather, 1/2 px), "upN" (1 gather from an N-x bilinearly
+    pre-upsampled copy — 1/(2N) px quantization; the upsample is gather-free
+    XLA convs amortized over every candidate evaluation)."""
+    S, H, W = src_imgs.shape
+
+    def off(ndim, hw):
+        return (jnp.arange(S, dtype=jnp.int32) * hw).reshape(
+            (S,) + (1,) * (ndim - 1))
+
+    if mode.startswith("up"):
+        k = int(mode[2:])
+        Hs, Ws = H * k, W * k
+        # bf16 storage: the pyramid is k^2 * 4 bytes/px/src in f32 (up8 at
+        # 0.3 MP x 3 src = 236 MB); bf16 halves it for ~0.4% value noise —
+        # below the 1/(2k) px interpolation quantization already accepted.
+        up = jax.image.resize(src_imgs, (S, Hs, Ws), "bilinear")
+        flat = up.astype(jnp.bfloat16).reshape(1, -1)
+        half = (k - 1) * 0.5  # pixel-center alignment of the upsampled grid
+
+        def sample(vv, uu):
+            out = nearest_flat(flat, off(vv.ndim, Hs * Ws),
+                               vv * k + half, uu * k + half, Hs, Ws)
+            return out.astype(jnp.float32)
+    elif mode == "nearest":
+        flat = src_imgs.reshape(1, -1)
+
+        def sample(vv, uu):
+            return nearest_flat(flat, off(vv.ndim, H * W), vv, uu, H, W)
+    elif mode == "bilinear":
+        flat = src_imgs.reshape(1, -1)
+
+        def sample(vv, uu):
+            return bilinear_flat(flat, off(vv.ndim, H * W), vv, uu, H, W)
+    else:
+        raise ValueError(f"unknown sampling mode {mode!r}")
+    return sample
+
+
+def _parity_even(H: int, phase):
+    """(H,) bool: rows whose ACTIVE checkerboard column offset is 0."""
+    return (jnp.arange(H, dtype=jnp.int32) + phase) % 2 == 0
+
+
+def _gather_parity(x, phase):
+    """Checkerboard gather WITHOUT a gather op: the active cells of `phase`
+    are column offset (y+phase)%2 in each row, so two strided lane slices +
+    one select replace the take_along_axis (XLA gathers cost ~7 cycles per
+    ELEMENT on TPU — ~100 M/s — while strided slices and selects run at VPU
+    width).  x (H, W[, k]) -> (H, Wh[, k])."""
+    H = x.shape[0]
+    even = _parity_even(H, phase)
+    a = x[:, 0::2]
+    b = x[:, 1::2]
+    cond = even[:, None] if x.ndim == 2 else even[:, None, None]
+    return jnp.where(cond, a, b)
+
+
+def _scatter_parity(x, val, phase):
+    """Inverse of _gather_parity: write `val` (H, Wh[, k]) into the active
+    checkerboard cells of x (H, W[, k]), leaving the other parity as-is —
+    interleave via stack+reshape, no scatter op."""
+    H = x.shape[0]
+    even = _parity_even(H, phase)
+    a = x[:, 0::2]
+    b = x[:, 1::2]
+    cond = even[:, None] if x.ndim == 2 else even[:, None, None]
+    a2 = jnp.where(cond, val, a)
+    b2 = jnp.where(cond, b, val)
+    return jnp.stack([a2, b2], axis=2).reshape(x.shape)
 
 
 def _plane_from_state(inv_d, n, rpx, rpy):
@@ -176,7 +269,7 @@ def _perturb_normal(key, n, max_deg):
     return jnp.where(out[..., 2:3] < -0.05, out, n)
 
 
-def _cost_active(n_a, c_a, xs_a, ys_a, rv_stack, mr_a, varr_a, src_imgs,
+def _cost_active(n_a, c_a, xs_a, ys_a, rv_stack, mr_a, varr_a, sample, S,
                  fx, fy, cx, cy, fxs, fys, cxs, cys, R_rel, t_rel,
                  offsets, cfg: PatchMatchConfig, HW):
     """NCC cost of candidate planes (n_a (..,3), c_a) on the active pixel
@@ -187,7 +280,6 @@ def _cost_active(n_a, c_a, xs_a, ys_a, rv_stack, mr_a, varr_a, src_imgs,
     mr_a/varr_a: reference window mean/variance on the active field.
     Returns cost (H, Wh) in [0, 2] (cost_invalid = invalid)."""
     H, W = HW
-    S = src_imgs.shape[0]
     No = len(offsets)
     sh = c_a.shape
     offs_arr = jnp.asarray(offsets, jnp.float32)  # (No, 2) static values
@@ -215,10 +307,7 @@ def _cost_active(n_a, c_a, xs_a, ys_a, rv_stack, mr_a, varr_a, src_imgs,
         us = Xs[..., 0] / zsafe * fxs[:, None, None] + cxs[:, None, None]
         vs = Xs[..., 1] / zsafe * fys[:, None, None] + cys[:, None, None]
         inb = (us >= 0) & (us <= W - 1) & (vs >= 0) & (vs <= H - 1) & (z > 0) & safe
-        S_n = src_imgs.shape[0]
-        src_off = (jnp.arange(S_n, dtype=jnp.int32) * (H * W))[:, None, None]
-        sv = bilinear_flat(src_imgs.reshape(1, -1), src_off, vs, us, H, W)
-        sv = jnp.where(inb, sv, 0.0)
+        sv = jnp.where(inb, sample(vs, us), 0.0)
         return (
             s_s + sv, s_ss + sv * sv, s_rs + sv * rv[None],
             oob + (~inb).astype(jnp.float32),
@@ -295,24 +384,31 @@ def patchmatch_refine(
     mr = s_r / No
     var_r = jnp.maximum(s_rr / No - mr * mr, 0.0)
 
-    cost_kw = dict(src_imgs=src_imgs, fx=fx, fy=fy, cx=cx, cy=cy, fxs=fxs,
-                   fys=fys, cxs=cxs, cys=cys, R_rel=R_rel, t_rel=t_rel,
-                   offsets=offsets, cfg=cfg, HW=(H, W))
+    sample = make_sampler(src_imgs, cfg.sampling)
+    cost_kw = dict(sample=sample, S=src_imgs.shape[0], fx=fx, fy=fy, cx=cx,
+                   cy=cy, fxs=fxs, fys=fys, cxs=cxs, cys=cys, R_rel=R_rel,
+                   t_rel=t_rel, offsets=offsets, cfg=cfg, HW=(H, W))
+
+    def _active_x(phase):
+        """Float x-coordinates of parity `phase`'s active cells (H, Wh):
+        row y holds active columns x with (x + y + phase) % 2 == 0."""
+        off = ((jnp.arange(H, dtype=jnp.int32) + phase) % 2).astype(jnp.float32)
+        return 2.0 * jnp.arange(Wh, dtype=jnp.float32)[None, :] + off[:, None]
 
     def eval_parity(phase, n_full, c_full):
         """Cost of the (n_full, c_full) plane field on parity `phase`'s
-        active cells; returns (cost_a (H, Wh), cols)."""
-        cols = _parity_cols(H, Wh, phase)
-        xs_a = cols.astype(jnp.float32)
+        active cells; returns cost_a (H, Wh)."""
+        xs_a = _active_x(phase)
         ys_a = ys[:, :Wh]
         rv_stack = jnp.stack([
-            _gather_cols(_shift_edge(ref_img, dy, dx), cols)
+            _gather_parity(_shift_edge(ref_img, dy, dx), phase)
             for dy, dx in offsets
         ])
-        c_a = _cost_active(_gather_cols(n_full, cols), _gather_cols(c_full, cols),
-                           xs_a, ys_a, rv_stack, _gather_cols(mr, cols),
-                           _gather_cols(var_r, cols), **cost_kw)
-        return c_a, cols
+        c_a = _cost_active(_gather_parity(n_full, phase),
+                           _gather_parity(c_full, phase),
+                           xs_a, ys_a, rv_stack, _gather_parity(mr, phase),
+                           _gather_parity(var_r, phase), **cost_kw)
+        return c_a
 
     if n_init is None:
         n0 = jnp.zeros((H, W, 3)).at[..., 2].set(-1.0)  # fronto-parallel
@@ -321,32 +417,30 @@ def patchmatch_refine(
         n0 = n_init / jnp.maximum(nl, 1e-9)
     inv0 = jnp.clip(inv_d_init, inv_lo, inv_hi)
     c0_full = _plane_from_state(inv0, n0, rpx, rpy)
-    # Initial cost: one evaluation per parity, scattered into the full grid.
-    rows = jnp.arange(H, dtype=jnp.int32)[:, None]
+    # Initial cost: one evaluation per parity, interleaved into the grid.
     cost0 = jnp.zeros((H, W))
     for ph in (0, 1):
-        ca, cols = eval_parity(jnp.int32(ph), n0, c0_full)
-        cost0 = cost0.at[rows, cols].set(ca)
+        ca = eval_parity(jnp.int32(ph), n0, c0_full)
+        cost0 = _scatter_parity(cost0, ca, jnp.int32(ph))
 
     def half_sweep(state, xs_in):
         inv_d, n, cost = state
         key, phase, scale = xs_in
-        cols = _parity_cols(H, Wh, phase)
-        xs_a = cols.astype(jnp.float32)
+        xs_a = _active_x(phase)
         ys_a = ys[:, :Wh]
         c_cur = _plane_from_state(inv_d, n, rpx, rpy)
         rpx_a = (xs_a - cx) / fx
         rpy_a = (ys_a - cy) / fy
         # Hoisted reference stats / values on the active field.
         rv_stack = jnp.stack([
-            _gather_cols(_shift_edge(ref_img, dy, dx), cols)
+            _gather_parity(_shift_edge(ref_img, dy, dx), phase)
             for dy, dx in offsets
         ])
-        mr_a = _gather_cols(mr, cols)
-        varr_a = _gather_cols(var_r, cols)
-        inv_a = _gather_cols(inv_d, cols)
-        n_a = _gather_cols(n, cols)
-        cost_a = _gather_cols(cost, cols)
+        mr_a = _gather_parity(mr, phase)
+        varr_a = _gather_parity(var_r, phase)
+        inv_a = _gather_parity(inv_d, phase)
+        n_a = _gather_parity(n, phase)
+        cost_a = _gather_parity(cost, phase)
 
         # Candidate planes on the active field, stacked (Ncand, H, Wh, ...):
         cand_n, cand_c = [], []
@@ -354,8 +448,8 @@ def patchmatch_refine(
         for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
             nn = jnp.stack([_shift_edge(n[..., i], dy, dx) for i in range(3)],
                            axis=-1)
-            cand_n.append(_gather_cols(nn, cols))
-            cand_c.append(_gather_cols(_shift_edge(c_cur, dy, dx), cols))
+            cand_n.append(_gather_parity(nn, phase))
+            cand_c.append(_gather_parity(_shift_edge(c_cur, dy, dx), phase))
         # Joint depth+normal perturbation (shrinking scale).
         k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         sh = (H, Wh)
@@ -395,10 +489,10 @@ def patchmatch_refine(
             eval_cand, (inv_a, n_a, cost_a),
             (jnp.stack(cand_n), jnp.stack(cand_c)),
         )
-        # Scatter the winners back into the full-resolution state.
-        inv_d = inv_d.at[rows, cols].set(inv_a)
-        n = n.at[rows, cols, :].set(n_a)
-        cost = cost.at[rows, cols].set(cost_a)
+        # Interleave the winners back into the full-resolution state.
+        inv_d = _scatter_parity(inv_d, inv_a, phase)
+        n = _scatter_parity(n, n_a, phase)
+        cost = _scatter_parity(cost, cost_a, phase)
         return (inv_d, n, cost), None
 
     n_sweeps = 2 * cfg.n_iters

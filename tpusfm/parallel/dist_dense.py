@@ -28,15 +28,22 @@ from ..dense import depth as depth_mod
 
 
 def _sweep_packed(imgs, Ks, sidx, R_rel, t_rel, inv_depths, cfg):
-    """vmapped sweep over a (local) batch of packed per-view inputs."""
+    """Sweep over a (local) batch of packed per-view inputs.
 
-    def sweep(s, Rr, tr, d):
+    lax.map, NOT vmap: the sweep is bilinear-gather-bound and XLA's gather
+    lowering degrades ~1.45x when the operand grows a vmap batch dim
+    (measured scripts/dense_breakdown.py: 2.62 s/view vmapped vs 1.81 s
+    single).  The views are compute-bound anyway, so sequential execution
+    inside one dispatch loses nothing."""
+
+    def sweep(x):
+        s, Rr, tr, d = x
         ref = imgs[s[-1]]
         srcs = imgs[s[:-1]]
         return depth_mod.plane_sweep_depth(
             ref, srcs, Ks[s[-1]], Ks[s[:-1]], Rr, tr, d, cfg)
 
-    return jax.vmap(sweep)(sidx, R_rel, t_rel, inv_depths)
+    return jax.lax.map(sweep, (sidx, R_rel, t_rel, inv_depths))
 
 
 def plane_sweep_all_views(norm_images, Ks, src_idx, R_rel, t_rel, inv_depths,
@@ -73,28 +80,31 @@ def plane_sweep_sharded(
 
 def _pm_packed(imgs_raw, Ks, sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi,
                keys, pm_cfg, n_init=None):
+    # lax.map, NOT vmap — same gather-lowering rationale as _sweep_packed.
     from ..dense import patchmatch as pm_mod
 
     if n_init is None:
-        def one(s, Rr, tr, d0, lo, hi, k):
+        def one(x):
+            s, Rr, tr, d0, lo, hi, k = x
             ref = imgs_raw[s[-1]]
             srcs = imgs_raw[s[:-1]]
             return pm_mod.patchmatch_refine(
                 ref, srcs, Ks[s[-1]], Ks[s[:-1]], Rr, tr, d0, lo, hi, k,
                 pm_cfg)
 
-        return jax.vmap(one)(sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi,
-                             keys)
+        return jax.lax.map(one, (sidx, R_rel, t_rel, inv_init, inv_lo,
+                                 inv_hi, keys))
 
-    def one_n(s, Rr, tr, d0, lo, hi, k, n0):
+    def one_n(x):
+        s, Rr, tr, d0, lo, hi, k, n0 = x
         ref = imgs_raw[s[-1]]
         srcs = imgs_raw[s[:-1]]
         return pm_mod.patchmatch_refine(
             ref, srcs, Ks[s[-1]], Ks[s[:-1]], Rr, tr, d0, lo, hi, k, pm_cfg,
             n0)
 
-    return jax.vmap(one_n)(sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi,
-                           keys, n_init)
+    return jax.lax.map(one_n, (sidx, R_rel, t_rel, inv_init, inv_lo, inv_hi,
+                               keys, n_init))
 
 
 def patchmatch_all_views(images_raw, Ks, src_idx, R_rel, t_rel, inv_init,

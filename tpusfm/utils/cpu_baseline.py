@@ -373,3 +373,72 @@ def run_cpu_baseline(images: np.ndarray, intr: np.ndarray, ba: bool = True,
                           (poses[v] for v in sorted(poses))])
     return dict(fps=V / total, total_s=total, times_s={k: round(v, 3) for k, v in times.items()},
                 n_registered=len(poses), centers=centers)
+
+
+def run_cpu_dense_baseline(images: np.ndarray, K: np.ndarray,
+                           R_all: np.ndarray, t_all: np.ndarray,
+                           views: list, src_lists: list,
+                           depth_ranges: list, n_planes: int = 64,
+                           window: int = 5, best_k: int = 2,
+                           log=lambda *a: None) -> dict:
+    """CPU dense-stage stand-in: cv2/numpy plane-sweep NCC depth maps at
+    matched output density (one depth per pixel, same plane count / source
+    count / NCC window as the TPU sweep).
+
+    Stand-in rationale: the reference's dense stage is the OpenMVS
+    ``DensifyPointCloud`` binary (PatchMatch MVS, spawned at
+    src/main.cpp:161) which is not buildable in this image; a plane sweep
+    with the same sampling volume is the standard CPU-comparable kernel
+    (all heavy ops are OpenCV C++: warpPerspective bilinear sampling +
+    boxFilter NCC).  bench.py compares it against OUR sweep-only config so
+    algorithm and output density match exactly; the PatchMatch-refined
+    numbers are reported separately (slanted-plane refinement has no cheap
+    CPU stand-in — on the reference it IS the expensive part).
+
+    images: (V, H, W) float [0, 1]; K: (3, 3) shared; R_all/t_all: (V, 3, 3)
+    and (V, 3) world->cam; views: reference view ids; src_lists[i]: source
+    view ids for views[i]; depth_ranges[i]: (lo, hi) metric depth."""
+    import cv2
+
+    V, H, W = images.shape
+    imgs = np.ascontiguousarray(images.astype(np.float32))
+
+    def local_norm(im):
+        m = cv2.boxFilter(im, -1, (window, window))
+        m2 = cv2.boxFilter(im * im, -1, (window, window))
+        v = np.maximum(m2 - m * m, 1e-6)
+        return (im - m) / np.sqrt(v)
+
+    norm = np.stack([local_norm(imgs[v]) for v in range(V)])
+    Kinv = np.linalg.inv(K)
+    t0 = time.time()
+    depths = {}
+    for ref, srcs, (lo, hi) in zip(views, src_lists, depth_ranges):
+        inv_ds = np.linspace(1.0 / hi, 1.0 / lo, n_planes)
+        ref_n = norm[ref]
+        best_cost = np.full((H, W), np.inf, np.float32)
+        best_inv = np.zeros((H, W), np.float32)
+        R_rel = [R_all[s] @ R_all[ref].T for s in srcs]
+        t_rel = [t_all[s] - R_all[s] @ R_all[ref].T @ t_all[ref] for s in srcs]
+        for inv_d in inv_ds:
+            costs = []
+            for Rr, tr, s in zip(R_rel, t_rel, srcs):
+                Hmat = K @ (Rr + np.outer(tr, [0, 0, inv_d])) @ Kinv
+                # warp SOURCE into the reference frame through the plane
+                warp = cv2.warpPerspective(
+                    norm[s], Hmat.astype(np.float64), (W, H),
+                    flags=cv2.WARP_INVERSE_MAP | cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+                ncc = cv2.boxFilter(warp * ref_n, -1, (window, window))
+                costs.append(1.0 - ncc)
+            cs = np.sort(np.stack(costs), axis=0)[:best_k]
+            agg = cs.mean(axis=0)
+            take = agg < best_cost
+            best_cost[take] = agg[take]
+            best_inv[take] = inv_d
+        depths[ref] = 1.0 / np.maximum(best_inv, 1e-9)
+    dt = time.time() - t0
+    return dict(views=len(views), seconds=round(dt, 2),
+                views_per_s=round(len(views) / dt, 4),
+                n_planes=n_planes, depths=depths,
+                pipeline="cv2 warpPerspective + boxFilter NCC plane sweep")
