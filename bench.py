@@ -120,7 +120,14 @@ def _ba_500_iters_per_s(small: bool) -> float:
 def _dense_fps(scene, images, small: bool) -> dict | None:
     """Dense stage benchmark (BASELINE config 4 scaled to the bench scene):
     PatchMatch-refined plane-sweep depth maps + consistency + fusion over
-    the registered bench views."""
+    the registered bench views.
+
+    Also times a SWEEP-ONLY config and a matched cv2/numpy CPU plane sweep
+    (utils/cpu_baseline.run_cpu_dense_baseline) so the dense stage finally
+    has a measured ``vs_baseline`` (round-4 verdict item 1): the sweep
+    comparison matches algorithm + plane count + output density exactly;
+    the PatchMatch number is reported separately (the reference's OpenMVS
+    PatchMatch binary is not buildable here — BASELINE.md)."""
     import dataclasses as _dc
     import time as _time
 
@@ -135,16 +142,58 @@ def _dense_fps(scene, images, small: bool) -> dict | None:
     cfg = dense_depth.DenseConfig(n_planes=32 if small else 64,
                                   n_sources=3, view_batch=2,
                                   pm=PatchMatchConfig(n_iters=2))
-    # warmup (compile)
+    # warmup (compile), then min of 2 timed runs: the tunnel's throughput
+    # fluctuates up to ~1.7x run-to-run (measured on identical programs),
+    # so a single timed run conflates backend weather with code changes.
     pts, _ = dense_depth.dense_reconstruct(scene, images, None, cfg=cfg,
                                            views=views)
-    t0 = _time.time()
-    pts, _ = dense_depth.dense_reconstruct(scene, images, None, cfg=cfg,
-                                           views=views)
-    dt = _time.time() - t0
-    return {"views": len(views), "seconds": round(dt, 2),
-            "views_per_s": round(len(views) / dt, 3), "points": int(len(pts)),
-            "patchmatch": True, "pm_iters": 2}
+    dt = float("inf")
+    for _rep in range(2):
+        t0 = _time.time()
+        pts, _ = dense_depth.dense_reconstruct(scene, images, None, cfg=cfg,
+                                               views=views)
+        dt = min(dt, _time.time() - t0)
+    out = {"views": len(views), "seconds": round(dt, 2),
+           "views_per_s": round(len(views) / dt, 3), "points": int(len(pts)),
+           "patchmatch": True, "pm_iters": 2}
+
+    try:
+        # Sweep-only timing (the algorithm the CPU stand-in replicates).
+        cfg_sw = _dc.replace(cfg, patchmatch=False)
+        dense_depth.dense_reconstruct(scene, images, None, cfg=cfg_sw,
+                                      views=views)
+        t0 = _time.time()
+        dense_depth.dense_reconstruct(scene, images, None, cfg=cfg_sw,
+                                      views=views)
+        sw_vps = len(views) / (_time.time() - t0)
+        out["views_per_s_sweep_only"] = round(sw_vps, 3)
+
+        # Matched CPU plane sweep (cv2 warpPerspective + boxFilter NCC).
+        from tpusfm.core import lie
+        from tpusfm.utils.cpu_baseline import run_cpu_dense_baseline
+
+        intr = np.asarray(scene.intr)[0]
+        K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]],
+                      [0, 0, 1]])
+        R_all = np.asarray(lie.so3_exp(scene.cam_rot))
+        t_all = np.asarray(scene.cam_t)
+        lo_a, hi_a, ok_a = dense_depth.depth_ranges_all(scene,
+                                                        cfg.depth_margin)
+        src_lists = [dense_depth.select_source_views(scene, v, cfg.n_sources)
+                     for v in views]
+        ranges = [(float(lo_a[v]), float(hi_a[v])) if ok_a[v] else (1.0, 10.0)
+                  for v in views]
+        cpu = run_cpu_dense_baseline(np.asarray(images), K, R_all, t_all,
+                                     views, src_lists, ranges,
+                                     n_planes=cfg.n_planes,
+                                     window=cfg.window, best_k=cfg.best_k,
+                                     log=log)
+        out["baseline_views_per_s"] = cpu["views_per_s"]
+        out["vs_baseline_sweep"] = round(sw_vps / max(cpu["views_per_s"],
+                                                      1e-9), 2)
+    except Exception as e:  # keep the headline dense number regardless
+        log(f"dense baseline comparison failed: {type(e).__name__}: {e}")
+    return out
 
 
 def _medium_bench(small: bool) -> dict | None:
@@ -175,10 +224,113 @@ from tpusfm.utils import metrics
 
 small = %SMALL%
 n_views = 60 if small else 200
+warm_stage_times = None
 img_h, img_w = 240, 320
 # arc <= ~140 deg: the synthetic corner room is untextured from behind.
 images, gt = render_orbit_images(n_views=n_views, img_h=img_h, img_w=img_w,
                                  focal=0.9 * img_w, arc_deg=120.0, seed=2)
+cfg = config_from_overrides(**{
+    "sift.n_octaves": 3, "sift.max_per_octave": 512, "sift.max_features": 512,
+    "matching.pair_mode": "contiguous", "matching.contiguous_window": 6,
+    "matching.pair_chunk": 32, "filter.max_iterations": 128,
+    "feature_batch": 10, "engine_type": "incremental"})
+t0 = time.time()
+scene, report = run_sparse(images, gt["intr"], cfg, key=jax.random.PRNGKey(0))
+warm = time.time() - t0
+warm_stage_times = report["times_s"]
+t0 = time.time()
+scene, report = run_sparse(images, gt["intr"], cfg, key=jax.random.PRNGKey(1))
+dt = time.time() - t0
+reg = np.asarray(scene.cam_mask)
+centers = np.asarray(scene.camera_centers())[reg]
+ate = metrics.ate_rmse(centers, gt["centers"][reg]) if reg.sum() >= 3 else None
+bcfg = ba.BAConfig(max_iters=10, cg_iters=30, converge_rtol=0.0)
+args = (scene.intr, scene.cam_rot, scene.cam_t, scene.cam_mask, scene.points,
+        scene.point_mask, scene.obs_cam, scene.obs_pt, scene.obs_uv,
+        scene.obs_mask)
+out = ba.bundle_adjust(*args, cfg=bcfg)
+_ = np.asarray(out[3][:1])
+t0 = time.time()
+out = ba.bundle_adjust(*args, cfg=bcfg)
+_ = np.asarray(out[3][:1])
+ba_its = max(float(jax.device_get(out[4]["iterations"])), 1.0) / (time.time() - t0)
+print(json.dumps({
+    "n_views": n_views, "img": f"{img_h}x{img_w}",
+    "engine": "incremental", "pairs": "contiguous-6",
+    "fps": round(n_views / dt, 3), "seconds": round(dt, 2),
+    "warm_s": round(warm, 1), "registered": int(reg.sum()),
+    "points": report["n_points"],
+    "ate": None if ate is None or np.isnan(ate) else round(float(ate), 4),
+    "stage_times_s": report["times_s"],
+    "warm_stage_times_s": warm_stage_times,
+    "ba_lm_iters_per_s": round(ba_its, 2),
+    "n_obs": int(np.asarray(scene.obs_mask).sum())}))
+""".replace("%SMALL%", repr(small))
+    try:
+        # JAX_LOG_COMPILES: per-program compile times on stderr, aggregated
+        # below into the warm-up attribution table (verdict item 5).
+        env = dict(os.environ, JAX_LOG_COMPILES="1")
+        r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=1800, env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        if r.returncode != 0:
+            log(f"medium bench subprocess failed: {r.stderr[-2000:]}")
+            return None
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        out["warm_compile_top"] = _aggregate_compiles(r.stderr)
+        return out
+    except Exception as e:
+        log(f"medium bench failed: {type(e).__name__}: {e}")
+        return None
+
+
+def _aggregate_compiles(stderr_text: str, top: int = 12) -> dict:
+    """Aggregate JAX_LOG_COMPILES stderr lines into {name: [count, total_s]}
+    for the biggest compile-time sinks."""
+    import re
+
+    agg: dict[str, list] = {}
+    for m in re.finditer(
+            r"Finished XLA compilation of ([^\s]+).* in ([0-9.eE+-]+) sec",
+            stderr_text):
+        name, t = m.group(1), float(m.group(2))
+        a = agg.setdefault(name, [0, 0.0])
+        a[0] += 1
+        a[1] += t
+    items = sorted(agg.items(), key=lambda kv: -kv[1][1])[:top]
+    return {k: [v[0], round(v[1], 1)] for k, v in items}
+
+
+def _pod_bench(small: bool) -> dict | None:
+    """BASELINE.md config 5 (pod-scale rung): a 1000-view contiguous
+    sequence through the full sparse pipeline on the chip — features,
+    contiguous matching, filtering, incremental reconstruction with
+    register_batch, colorize — plus a fetch-forced global-BA rate on the
+    resulting scene.  Round-3 verdict item 3: this scale had only ever
+    touched the BA kernel, never the pipeline."""
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import json, sys, time
+import numpy as np
+import jax
+from tpusfm.utils import compile_cache
+compile_cache.enable()
+from tpusfm.ba import bundle_adjust as ba
+from tpusfm.pipeline.config import config_from_overrides
+from tpusfm.pipeline.sparse import run_sparse
+from tpusfm.utils.synth_render import render_orbit_images
+from tpusfm.utils import metrics
+
+small = %SMALL%
+n_views = 120 if small else 1000
+img_h, img_w = 240, 320
+# Several orbit loops: a 1000-view contiguous sequence needs continuous
+# overlap, and repeated sweeps of the same room are exactly the capture
+# pattern of a long handheld sequence.
+images, gt = render_orbit_images(n_views=n_views, img_h=img_h, img_w=img_w,
+                                 focal=0.9 * img_w, arc_deg=120.0, seed=5)
 cfg = config_from_overrides(**{
     "sift.n_octaves": 3, "sift.max_per_octave": 512, "sift.max_features": 512,
     "matching.pair_mode": "contiguous", "matching.contiguous_window": 6,
@@ -216,14 +368,78 @@ print(json.dumps({
 """.replace("%SMALL%", repr(small))
     try:
         r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=1800,
+                           text=True, timeout=3000,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
         if r.returncode != 0:
-            log(f"medium bench subprocess failed: {r.stderr[-2000:]}")
+            log(f"pod bench subprocess failed: {r.stderr[-2000:]}")
             return None
         return json.loads(r.stdout.strip().splitlines()[-1])
     except Exception as e:
-        log(f"medium bench failed: {type(e).__name__}: {e}")
+        log(f"pod bench failed: {type(e).__name__}: {e}")
+        return None
+
+
+def _mesh_medium() -> dict | None:
+    """Mesh-mode overhead AT SCALE (round-4 verdict item 4): the 200-view
+    medium rung with devices=8 on the virtual CPU mesh, where the
+    mesh_min_obs_per_device gate no longer routes the sharded step-BAs and
+    matching down the local path.  Subprocess (CPU backend)."""
+    import subprocess
+    import sys as _sys
+
+    code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+import dataclasses, json, time
+from tpusfm.utils import compile_cache
+compile_cache.enable()
+from tpusfm.pipeline.config import config_from_overrides
+from tpusfm.pipeline.sparse import run_sparse
+from tpusfm.utils.synth_render import render_orbit_images
+n_views = 200
+images, gt = render_orbit_images(n_views=n_views, img_h=240, img_w=320,
+                                 focal=0.9 * 320, arc_deg=120.0, seed=2)
+cfg = config_from_overrides(**{
+    "sift.n_octaves": 3, "sift.max_per_octave": 512, "sift.max_features": 512,
+    "matching.pair_mode": "contiguous", "matching.contiguous_window": 6,
+    "matching.pair_chunk": 32, "filter.max_iterations": 128,
+    "feature_batch": 10, "engine_type": "incremental"})
+out = {}
+for ndev in (1, 8):
+    c = dataclasses.replace(cfg, devices=ndev)
+    run_sparse(images, gt["intr"], c)  # warm
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        _, rep = run_sparse(images, gt["intr"], c)
+        dt = time.time() - t0
+        if best is None or dt < best[0]:
+            best = (dt, rep)
+    out[str(ndev)] = {"seconds": round(best[0], 2),
+                      "registered": best[1]["n_registered"],
+                      "times_s": best[1]["times_s"]}
+print(json.dumps(out))
+"""
+    try:
+        r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=3000,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        if r.returncode != 0:
+            log(f"mesh medium subprocess failed: {r.stderr[-2000:]}")
+            return None
+        d = json.loads(r.stdout.strip().splitlines()[-1])
+        t1, t8 = d["1"]["seconds"], d["8"]["seconds"]
+        return {"n_views": 200, "t_1dev_s": t1, "t_8dev_s": t8,
+                "overhead_factor": round(t8 / max(t1, 1e-9), 3),
+                "registered": (d["1"]["registered"], d["8"]["registered"]),
+                "stage_times_1dev_s": d["1"].get("times_s"),
+                "stage_times_8dev_s": d["8"].get("times_s"),
+                "note": "virtual 8-device CPU mesh on one 2-core host: "
+                        "mesh-path overhead at a scale where sharded "
+                        "matching and sharded step/final BAs engage"}
+    except Exception as e:
+        log(f"mesh medium bench failed: {e}")
         return None
 
 
@@ -393,11 +609,27 @@ def main():
         except Exception as e:
             log(f"medium bench failed: {type(e).__name__}: {e}")
 
+    # Pod-scale rung (BASELINE config 5): 1000 views end-to-end, on-chip.
+    pod_stats = None
+    if os.environ.get("BENCH_SKIP_POD") != "1":
+        try:
+            pod_stats = _pod_bench(small)
+            log(f"pod: {pod_stats}")
+            gc.collect()
+        except Exception as e:
+            log(f"pod bench failed: {type(e).__name__}: {e}")
+
     # Mesh-mode overhead on the virtual 8-device CPU mesh (subprocess).
     mesh_stats = None
     if os.environ.get("BENCH_SKIP_MESH") != "1":
         mesh_stats = _mesh_overhead()
         log(f"mesh overhead: {mesh_stats}")
+
+    # Mesh-mode overhead at the medium rung (sharding actually engages).
+    mesh_medium_stats = None
+    if os.environ.get("BENCH_SKIP_MESH_MEDIUM") != "1":
+        mesh_medium_stats = _mesh_medium()
+        log(f"mesh medium: {mesh_medium_stats}")
 
     # Secondary multiple excluding BOTH BA stages: baseline ex-BA time vs
     # our ex-BA time is not separable (our BA is fused into reconstruction),
@@ -426,7 +658,9 @@ def main():
             "baseline_times_s": baseline.get("times_s"),
             "dense": dense_stats,
             "medium": medium_stats,
+            "pod": pod_stats,
             "mesh_8dev": mesh_stats,
+            "mesh_medium": mesh_medium_stats,
         },
     }))
 

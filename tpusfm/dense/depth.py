@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import lie
+from . import patchmatch as pm_mod
 from .patchmatch import PatchMatchConfig, make_sampler
 
 
@@ -137,10 +138,8 @@ def plane_sweep_depth(
         # NCC via box-filtered product of pre-normalized images: in [-1, 1].
         ncc = _box_mean(warped * ref_img[None], w)
         cost_s = jnp.where(inb, 1.0 - ncc, 2.0)  # (S, H, W), 2.0 = invalid
-        # Best-k aggregation over sources.
-        k = min(cfg.best_k, cost_s.shape[0])
-        neg_topk, _ = jax.lax.top_k(-jnp.moveaxis(cost_s, 0, -1), k)
-        return -jnp.mean(neg_topk, axis=-1)  # (H, W)
+        # Best-k aggregation over sources (elementwise, see _best_k_mean).
+        return pm_mod._best_k_mean(cost_s, min(cfg.best_k, cost_s.shape[0]))
 
     costs = jax.lax.map(cost_at_plane, inv_depths)  # (D, H, W)
     best = jnp.argmin(costs, axis=0)  # (H, W)
@@ -283,7 +282,20 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
     sharded across devices (view-cluster DP, SURVEY.md §2.3 item 5).
     Intrinsics are per-view throughout (mixed-camera parity,
     DenseBuilder.h:67-84)."""
+    import os as _os
+    import time as _time
+
     from ..parallel import dist_dense
+
+    _trace = _os.environ.get("TPUSFM_DENSE_TIMING") == "1"
+    _t0 = _time.time()
+
+    def _mark(label):
+        nonlocal _t0
+        if _trace:
+            now = _time.time()
+            print(f"[dense-timing] {label}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
 
     progress = progress or (lambda *a, **k: None)
     key = jax.random.PRNGKey(0) if key is None else key
@@ -312,8 +324,13 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
         v for v in views
         if rng_ok[v] and len(select_source_views(scene, v, cfg.n_sources)) >= 2
     ]
-    depths = np.zeros((V, H, W), np.float32)
-    costs = np.full((V, H, W), 2.0, np.float32)
+    # Depth/cost maps stay ON DEVICE through the batch loop and the
+    # consistency filter; the host sees them once, as float16, after
+    # filtering.  The tunneled backend downloads at ~1 MB/s, so fetching
+    # per-batch f32 maps cost more wall clock than the PatchMatch compute
+    # it followed (measured 4 s per 2-view batch, TPUSFM_DENSE_TIMING).
+    depths_j = jnp.zeros((V, H, W), jnp.float32)
+    costs_j = jnp.full((V, H, W), 2.0, jnp.float32)
     if computed:
         src_idx, R_rel, t_rel, inv_d, inv_lo, inv_hi = \
             dist_dense.pack_sweep_inputs(scene, computed, cfg, cfg.n_planes,
@@ -346,6 +363,7 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
                     widths += [(0, 0)] * (x.ndim - 3)
                     x = jnp.pad(x, widths, mode="edge")
                 return x[:, :H, :W]
+        _mark("setup+normalize+pack")
         for s in range(0, len(computed), B):
             sl = slice(s, s + B)
             n_sl = len(computed[sl])
@@ -364,6 +382,9 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
             else:
                 d, c = dist_dense.plane_sweep_all_views(
                     norm_j, Ks_j, *args, cfg=cfg)
+            if _trace:
+                d.block_until_ready()
+                _mark(f"sweep batch {s}")
             if cfg.patchmatch:
                 import dataclasses as _dc
 
@@ -411,11 +432,12 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
                     c_parts.append(cq)
                 d = jnp.concatenate(d_parts)
                 c = jnp.concatenate(c_parts)
-            d_np, c_np = np.asarray(d), np.asarray(c)
-            for bi in range(n_sl):
-                v = computed[s + bi]
-                depths[v] = d_np[bi]
-                costs[v] = c_np[bi]
+            if _trace:
+                d.block_until_ready()
+                _mark(f"patchmatch batch {s}")
+            vids = jnp.asarray(np.asarray(computed[sl], np.int32))
+            depths_j = depths_j.at[vids].set(d[:n_sl])
+            costs_j = costs_j.at[vids].set(c[:n_sl])
             progress("dense", min(1.0, (s + B) / len(computed)) * 0.8)
 
     # Consistency neighbors must themselves have computed depth maps.
@@ -430,12 +452,18 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
             nb.append(nb[-1] if nb else v)
         neighbors[v] = nb
 
-    valid = np.asarray(consistency_filter(
-        jnp.asarray(depths), jnp.asarray(costs), jnp.asarray(Ks),
+    _mark("neighbor selection")
+    valid_j = consistency_filter(
+        depths_j, costs_j, jnp.asarray(Ks),
         jnp.asarray(R_all.astype(np.float32)), jnp.asarray(t_all.astype(np.float32)),
         jnp.asarray(neighbors), cfg,
-    ))
+    )
+    # Single host fetch: f16 depths (5e-4 relative — far below the PM
+    # depth error), packed valid bits.
+    valid = np.asarray(valid_j)
+    depths = np.asarray(depths_j.astype(jnp.float16)).astype(np.float32)
     progress("dense", 0.9)
+    _mark("consistency+fetch")
 
     # Fusion: backproject surviving pixels (per-view K).
     pts_out, col_out = [], []
@@ -461,8 +489,11 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
     else:
         pts = np.concatenate(pts_out)
         cols = np.concatenate(col_out) if col_out else np.full((len(pts), 3), 200, np.uint8)
+    _mark("fusion")
     if return_maps:
-        maps = dict(depths=depths, valid=valid, K=Ks, R=R_all, t=t_all,
+        costs = np.asarray(costs_j)
+        maps = dict(depths=depths, costs=costs, valid=valid, K=Ks, R=R_all,
+                    t=t_all,
                     computed=np.asarray(computed, np.int32))
         return pts, cols, maps
     return pts, cols

@@ -283,6 +283,11 @@ def _cost_active(n_a, c_a, xs_a, ys_a, rv_stack, mr_a, varr_a, sample, S,
     No = len(offsets)
     sh = c_a.shape
     offs_arr = jnp.asarray(offsets, jnp.float32)  # (No, 2) static values
+    # Note (round 4): grouping G=8 offsets per scan step so each gather op
+    # carries 8x the indices was measured SLOWER end-to-end (12.4 vs 8
+    # s/batch at the bench config) — the (S, G, H, Wh) transients push the
+    # whole chain through HBM, while the per-offset scan keeps each
+    # iteration's elementwise work fused around one modest gather.
 
     def accum(sums, xs_in):
         s_s, s_ss, s_rs, oob = sums
@@ -326,9 +331,23 @@ def _cost_active(n_a, c_a, xs_a, ys_a, rv_stack, mr_a, varr_a, sample, S,
     ok = (oob < 0.3 * N) & (varr_a[None] > cfg.min_sigma**2)
     cost_s = jnp.where(ok, 1.0 - ncc, cfg.cost_invalid)  # (S, H, Wh)
 
-    k = min(cfg.best_k, S)
-    neg_topk, _ = jax.lax.top_k(-jnp.moveaxis(cost_s, 0, -1), k)
-    return -jnp.mean(neg_topk, axis=-1)  # (H, Wh)
+    return _best_k_mean(cost_s, min(cfg.best_k, S))  # (H, Wh)
+
+
+def _best_k_mean(cost_s, k: int):
+    """Mean of the k smallest values along axis 0 (source aggregation).
+    S is tiny (3-6 sources), so a leading-axis sort is an elementwise
+    min/max sorting network — measurably cheaper than lax.top_k, which
+    moves the axis minor and runs a general sort per call (this sits in
+    the per-candidate inner loop: ~150 calls per half-sweep)."""
+    S = cost_s.shape[0]
+    if k >= S:
+        return jnp.mean(cost_s, axis=0)
+    if k == 1:
+        return jnp.min(cost_s, axis=0)
+    if k == S - 1:
+        return (jnp.sum(cost_s, axis=0) - jnp.max(cost_s, axis=0)) / k
+    return jnp.mean(jnp.sort(cost_s, axis=0)[:k], axis=0)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

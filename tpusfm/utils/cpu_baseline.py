@@ -187,9 +187,13 @@ def _schur_lm_ba(cam0, X0, ocam, opt, ouv, K, huber=4.0, max_iters=25,
 
 
 def run_cpu_baseline(images: np.ndarray, intr: np.ndarray, ba: bool = True,
-                     log=lambda *a: None) -> dict:
+                     log=lambda *a: None, pair_window: int = 0) -> dict:
     """Run the CPU reference pipeline on (V, H, W) grayscale float images in
     [0, 1].  intr: (7,) [fx, fy, cx, cy, k1, k2, k3] shared.
+    pair_window > 0 matches only |i-j| <= window pairs (the reference's
+    PAIR_CONTIGUOUS mode, sparseBuilder.cpp:784-797) — used for the
+    200-view medium-rung baseline where exhaustive O(V^2) BF matching
+    would dominate the measurement.
     Returns {'fps', 'total_s', 'times_s': {...}, 'n_registered', 'centers'}."""
     import cv2
 
@@ -217,6 +221,8 @@ def run_cpu_baseline(images: np.ndarray, intr: np.ndarray, ba: bool = True,
     pair_matches = {}
     for i in range(V):
         for j in range(i + 1, V):
+            if pair_window and j - i > pair_window:
+                continue
             if len(descs[i]) < 8 or len(descs[j]) < 8:
                 continue
             knn = bf.knnMatch(descs[i], descs[j], k=2)
@@ -372,7 +378,8 @@ def run_cpu_baseline(images: np.ndarray, intr: np.ndarray, ba: bool = True,
     centers = np.asarray([-(R.T @ t) for R, t in
                           (poses[v] for v in sorted(poses))])
     return dict(fps=V / total, total_s=total, times_s={k: round(v, 3) for k, v in times.items()},
-                n_registered=len(poses), centers=centers)
+                n_registered=len(poses), centers=centers,
+                registered_ids=sorted(poses))
 
 
 def run_cpu_dense_baseline(images: np.ndarray, K: np.ndarray,
