@@ -161,5 +161,88 @@ def main():
               f" ({n_it:.0f} its)", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "prep" not in sys.argv[1:]:
     main()
+
+
+def prep_bench():
+    """Per-solve preprocessing cost: sort_and_rank + obs-table reorders."""
+    import sys, time
+    from pathlib import Path
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    from synth import orbit_scene
+    from tpusfm.ops import obs_table as ot
+
+    C, P = 500, 50000
+    s = orbit_scene(n_cams=C, n_points=P, noise_px=0.5, seed=3,
+                    arc_deg=350.0, vis_prob=0.06)
+    obs_cam = jnp.asarray(s["obs_cam"])
+    obs_pt = jnp.asarray(s["obs_pt"])
+    obs_uv = jnp.asarray(s["obs_uv"], jnp.float32)
+    O = obs_cam.shape[0]
+    obs_w = jnp.ones(O, jnp.float32)
+
+    @jax.jit
+    def prep(obs_cam, obs_pt, obs_uv, obs_w):
+        order, ranks, r2p, rv = ot.sort_and_rank(obs_pt, obs_w > 0, P)
+        return (obs_cam[order], obs_pt[order], obs_uv[order], obs_w[order],
+                ranks, r2p, rv)
+
+    @jax.jit
+    def sort_only(obs_pt, obs_w):
+        return ot.sort_and_rank(obs_pt, obs_w > 0, P)
+
+    for name, f, args in (("prep full", prep, (obs_cam, obs_pt, obs_uv, obs_w)),
+                          ("sort_and_rank only", sort_only, (obs_pt, obs_w))):
+        out = f(*args)
+        _ = np.asarray(out[0][:1])
+        t0 = time.time()
+        for _i in range(4):
+            out = f(*args)
+            _ = np.asarray(out[0][:1])
+        print(f"{name:22s} {(time.time()-t0)/4*1e3:8.1f} ms", flush=True)
+
+
+if __name__ == "__main__" and "prep" in sys.argv[1:]:
+    prep_bench()
+
+
+if __name__ == "__main__" and "prep2" in sys.argv[1:]:
+    # payload-sort variant timing
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from synth import orbit_scene
+    from tpusfm.ops import obs_table as ot
+
+    C, P = 500, 50000
+    s = orbit_scene(n_cams=C, n_points=P, noise_px=0.5, seed=3,
+                    arc_deg=350.0, vis_prob=0.06)
+    obs_cam = jnp.asarray(s["obs_cam"])
+    obs_pt = jnp.asarray(s["obs_pt"])
+    obs_uv = jnp.asarray(s["obs_uv"], jnp.float32)
+    O = obs_cam.shape[0]
+    obs_w = jnp.ones(O, jnp.float32)
+
+    @jax.jit
+    def prep2(obs_cam, obs_pt, obs_uv, obs_w):
+        return ot.sort_and_rank_payload(
+            obs_pt, obs_w > 0, P,
+            (obs_cam.astype(jnp.int32), obs_cam.astype(jnp.int32),
+             obs_uv[:, 0], obs_uv[:, 1], obs_w))
+
+    out = prep2(obs_cam, obs_pt, obs_uv, obs_w)
+    _ = np.asarray(out[0][0][:1])
+    t0 = time.time()
+    for _i in range(4):
+        out = prep2(obs_cam, obs_pt, obs_uv, obs_w)
+        _ = np.asarray(out[0][0][:1])
+    print(f"prep payload-sort      {(time.time()-t0)/4*1e3:8.1f} ms",
+          flush=True)

@@ -323,10 +323,24 @@ def _tree_vdot(a, b):
                                               jax.tree_util.tree_leaves(b)))
 
 
-def _pcg(matvec, b, apply_M, iters: int, tol: float):
+def _pcg(matvec, b, apply_M, iters: int, tol: float, aux0=None):
     """Block-Jacobi preconditioned conjugate gradients over a pytree of
     per-block unknowns (pose blocks, and intrinsic-group blocks when
-    refining)."""
+    refining).
+
+    aux0: optional zero-initialized auxiliary accumulator.  When given,
+    `matvec(p)` must return (Ap, aux_p) with aux_p LINEAR in p, and the
+    solver returns (x, sum_i alpha_i * aux_{p_i}) — i.e. aux evaluated at
+    the solution without an extra pass.  The BA solve uses this to get
+    W^T dc for the point back-substitution directly from the CG
+    iterations' schur_fwd outputs (saves one full pass over W per LM
+    iteration)."""
+    with_aux = aux0 is not None
+
+    def mv(p):
+        out = matvec(p)
+        return out if with_aux else (out, None)
+
     x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
     r0 = b
     z0 = apply_M(r0)
@@ -335,24 +349,28 @@ def _pcg(matvec, b, apply_M, iters: int, tol: float):
     b2 = _tree_vdot(b, b)
 
     def body(carry):
-        x, r, p, rz, it = carry
-        Ap = matvec(p)
+        x, aux, r, p, rz, it = carry
+        Ap, aux_p = mv(p)
         pAp = _tree_vdot(p, Ap)
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-30, 1e-30, pAp)
         x = jax.tree_util.tree_map(lambda x_, p_: x_ + alpha * p_, x, p)
+        if with_aux:
+            aux = aux + alpha * aux_p
         r = jax.tree_util.tree_map(lambda r_, a_: r_ - alpha * a_, r, Ap)
         z = apply_M(r)
         rz_new = _tree_vdot(r, z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         p = jax.tree_util.tree_map(lambda z_, p_: z_ + beta * p_, z, p)
-        return x, r, p, rz_new, it + 1
+        return x, aux, r, p, rz_new, it + 1
 
     def cond(carry):
-        _, r, _, _, it = carry
+        _, _, r, _, _, it = carry
         return (it < iters) & (_tree_vdot(r, r) > tol * tol * jnp.maximum(b2, 1e-30))
 
-    x, r, *_ = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
-    return x
+    aux_init = aux0 if with_aux else jnp.zeros(())
+    x, aux, r, *_ = jax.lax.while_loop(cond, body,
+                                       (x0, aux_init, r0, p0, rz0, 0))
+    return (x, aux) if with_aux else x
 
 
 # ---------------------------------------------------------------------------
@@ -570,16 +588,28 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
     itp = cfg.pallas_interpret
     ax = cfg.axis_name
 
-    order, ranks, rank_to_pt, rank_valid = ot.sort_and_rank(
-        obs_pt, obs_w > 0, P
-    )
-    obs_cam = obs_cam[order]
-    obs_grp = obs_grp[order]
-    obs_pt = obs_pt[order]
-    obs_uv = obs_uv[order]
-    obs_w = obs_w[order]
+    # One multi-operand sort carries every obs column with the key (saves
+    # ~40 ms of reorder gathers per solve vs argsort + 5 gathers at the
+    # 1.48M-obs bench shape).
+    (payloads, obs_pt, ranks, rank_to_pt, rank_valid) = \
+        ot.sort_and_rank_payload(
+            obs_pt, obs_w > 0, P,
+            (obs_cam.astype(jnp.int32), obs_grp.astype(jnp.int32),
+             obs_uv[:, 0], obs_uv[:, 1], obs_w))
+    obs_cam, obs_grp, uv0, uv1, obs_w = payloads
+    obs_uv = jnp.stack([uv0, uv1], axis=1)
     rank_scatter_ids = jnp.where(rank_valid, rank_to_pt, P)
     safe_r2p = jnp.minimum(rank_to_pt, P - 1)
+    # Single-device solves keep the ENTIRE point side of the solver state
+    # in RANK space (the sorted-dense indexing the windowed kernels use):
+    # Hpp/gp/points/dp all live as rank tables, so the per-iteration
+    # rank<->point XLA scatter/gather glue disappears (measured ~16 ms of
+    # the 40.5 ms fixed cost per LM iteration at 500 cams / 1.48M obs —
+    # XLA scatters run at ~60 M elems/s).  Points convert to rank space
+    # once at entry and scatter back once at exit.  Sharded solves keep
+    # point space: shard-local rank spaces differ, so cross-shard point
+    # reductions must go through (replicated) point ids.
+    rank_space = ax is None
     # Fused linearization kernel holds the camera/group tables in VMEM;
     # its closed-form Jacobians are RADIAL3 — other camera models take the
     # jacfwd branch.
@@ -596,7 +626,12 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
 
     def _gather_pts(pts):
         """Per-obs point gather; the obs table is point-sorted, so the
-        windowed rank gather applies when enabled."""
+        windowed rank gather applies when enabled.  `pts` is a rank table
+        in rank_space mode, a point table otherwise."""
+        if rank_space:
+            if cfg.pallas_gathers:
+                return ot.gather_sorted(pts, ranks, interpret=itp)
+            return _gather(pts, jnp.minimum(ranks, P))
         if cfg.pallas_gathers:
             pts_rank = jnp.where(rank_valid[:, None],
                                  pts[jnp.minimum(rank_to_pt, P - 1)], 0.0)
@@ -606,8 +641,11 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
     obs_uvT = obs_uv.T  # T-layout kernels take (2, O); hoisted once
 
     def pt_reduce_t(valsT):
-        """(Dv, O) T-layout -> per-point sums (P, Dv), psum when sharded."""
+        """(Dv, O) T-layout -> per-point sums (P, Dv) — RANK-indexed rows in
+        rank_space mode (no scatter), point-indexed + psum when sharded."""
         red_r = ot.segsum_sorted_t(valsT, ranks, P, interpret=itp)
+        if rank_space:
+            return red_r
         red_p = jnp.zeros((P, valsT.shape[0]), red_r.dtype).at[
             rank_scatter_ids].add(
             jnp.where(rank_valid[:, None], red_r, 0.0), mode="drop"
@@ -637,7 +675,8 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             Jr = lie.so3_right_jacobian(ps[:, :3])
             camtab = jnp.concatenate(
                 [ps[:, 3:6], R.reshape(C, 9), Jr.reshape(C, 9)], axis=1)
-            pts_rank = jnp.where(rank_valid[:, None], pts[safe_r2p], 0.0)
+            pts_rank = pts if rank_space else jnp.where(
+                rank_valid[:, None], pts[safe_r2p], 0.0)
             outs = ot.linearize_radial3_t(
                 camtab, gi, pts_rank, obs_cam, obs_grp, ranks, obs_uvT,
                 obs_w, refine=refine, refine_mask=cfg.refine_mask(),
@@ -738,9 +777,13 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         Hgg_d = _damp_blocks(Hgg, lam) if refine else None
 
         # Rank-space helpers for the fused Schur kernels (ops/obs_table.py
-        # schur_fwd/schur_bwd: ONE pass over W per matvec direction).
-        Hinv_rank = jnp.where(rank_valid[:, None, None],
-                              Hpp_inv[safe_r2p], 0.0)
+        # schur_fwd/schur_bwd: ONE pass over W per matvec direction).  In
+        # rank_space mode Hpp/gp ARE rank tables already — no glue.
+        if rank_space:
+            Hinv_rank = jnp.where(rank_valid[:, None, None], Hpp_inv, 0.0)
+        else:
+            Hinv_rank = jnp.where(rank_valid[:, None, None],
+                                  Hpp_inv[safe_r2p], 0.0)
 
         def to_rank(tab_p):
             return jnp.where(rank_valid[:, None], tab_p[safe_r2p], 0.0)
@@ -751,7 +794,10 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
                 jnp.where(rank_valid[:, None], tab_r, 0.0), mode="drop")
 
         # rhs = -g + W Hpp^-1 gp  (per block type)
-        z_rank = to_rank(jnp.einsum("pij,pj->pi", Hpp_inv, gp))
+        if rank_space:
+            z_rank = jnp.einsum("pij,pj->pi", Hinv_rank, gp)
+        else:
+            z_rank = to_rank(jnp.einsum("pij,pj->pi", Hpp_inv, gp))
         rhs_c = (-gc + _maybe_psum(
             ot.schur_bwd_t(Wc_flat, obs_cam, ranks, z_rank, C, interpret=itp),
             ax)) * upd_c
@@ -766,7 +812,10 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         # (groups span many cameras; their diagonal is dominated by Hgg).
         if cfg.precond == "schur_diag":
             Wc3 = Wc_flat.astype(jnp.float32).T.reshape(-1, D, 3)
-            Hinv_o = _gather(Hpp_inv.reshape(P, 9), obs_pt).reshape(-1, 3, 3)
+            Hinv_o = _gather(Hinv_rank.reshape(P, 9),
+                             jnp.minimum(ranks, P)).reshape(-1, 3, 3) \
+                if rank_space else \
+                _gather(Hpp_inv.reshape(P, 9), obs_pt).reshape(-1, 3, 3)
             contrib = jnp.einsum("oij,ojk,olk->oil", Wc3, Hinv_o, Wc3)
             S_diag = Hcc_d - cam_reduce_t(
                 contrib.reshape(-1, D * D).T).reshape(C, D, D)
@@ -808,17 +857,20 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
                 out = {"c": (Hvc - bc) * upd_c, "g": (Hvg - bg) * upd_g}
             else:
                 out = {"c": (Hvc - bc) * upd_c}
-            return out
+            # y_r is linear in v: _pcg accumulates sum_i alpha_i y_r(p_i)
+            # = W^T dc at the solution — the point back-substitution needs
+            # exactly that, so no extra schur_fwd pass after CG.
+            return out, y_r
 
-        d = _pcg(mv, rhs, apply_M, cfg.cg_iters, cfg.cg_tol)
+        d, Wtd_r = _pcg(mv, rhs, apply_M, cfg.cg_iters, cfg.cg_tol,
+                        aux0=jnp.zeros((P, 3)))
         dc = d["c"] * upd_c
         dg = d["g"] * upd_g if refine else None
-        Wtd_r = ot.schur_fwd_t(Wc_flat, obs_cam, ranks, dc, P, interpret=itp)
-        if refine:
-            Wtd_r = Wtd_r + ot.schur_fwd_t(Wg_flat, obs_grp, ranks, dg, P,
-                                           interpret=itp)
-        Wtd = _maybe_psum(from_rank(Wtd_r), ax)
-        dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtd) * pt_upd
+        if rank_space:
+            dp = -jnp.einsum("pij,pj->pi", Hinv_rank, gp + Wtd_r) * pt_upd_state
+        else:
+            Wtd = _maybe_psum(from_rank(Wtd_r), ax)
+            dp = -jnp.einsum("pij,pj->pi", Hpp_inv, gp + Wtd) * pt_upd
         return dc, dg, dp
 
     def lm_step(carry):
@@ -853,13 +905,29 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         done = done | (accept & (rel < cfg.converge_rtol))
         return ps, gi, pts, sys, lam, cost_out, done, it + 1
 
-    sys0, init_cost = linearize(pose0, gintr0, points)
+    # Entry: convert points to the solver's state space (rank table in
+    # rank_space mode — one gather here, one scatter at exit, zero glue
+    # inside the LM loop).
+    if rank_space:
+        pts_state0 = jnp.where(rank_valid[:, None], points[safe_r2p], 0.0)
+        pt_upd_state = jnp.where(rank_valid[:, None], pt_upd[safe_r2p], 0.0)
+    else:
+        pts_state0 = points
+        pt_upd_state = pt_upd
+
+    sys0, init_cost = linearize(pose0, gintr0, pts_state0)
     (ps, gi, pts, _, lam, final_cost, _, n_it) = jax.lax.while_loop(
         lambda c: (c[7] < cfg.max_iters) & ~c[6],
         lm_step,
-        (pose0, gintr0, points, sys0, jnp.float32(cfg.lambda_init), init_cost,
-         jnp.bool_(False), jnp.int32(0)),
+        (pose0, gintr0, pts_state0, sys0, jnp.float32(cfg.lambda_init),
+         init_cost, jnp.bool_(False), jnp.int32(0)),
     )
+    if rank_space:
+        # Exit: scatter rank rows back onto their points; points without a
+        # valid observation keep their input positions (their dp is 0 in
+        # either space).
+        pts = points.at[rank_scatter_ids].set(
+            jnp.where(rank_valid[:, None], pts, 0.0), mode="drop")
     return ps, gi, pts, lam, init_cost, final_cost, n_it
 
 

@@ -38,12 +38,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 512   # window granularity: sorted ids in any B-row span cover < B
-          # distinct values (rank-compaction invariant)
-KSUB = 4  # sub-blocks processed per grid step (grid-step overhead, ~2.5us
-          # each, dominates at B=512 — measured 20ms for 2930x2 steps;
-          # KSUB=8 with a 512-wide table blows the 16MB VMEM scope)
-BCAM = B * KSUB  # camera-side kernels have no window constraint: big blocks
+B = 256   # window granularity: sorted ids in any B-row span cover < B
+          # distinct values (rank-compaction invariant).  Round 4:
+          # 512 -> 256 halves the windowed kernels' dominant VPU cost —
+          # the (B, 2B) iota-compare one-hot builds total BL*2B ops per
+          # grid step, LINEAR in B — while the (3, B)x(B, 2B) window
+          # matmuls stay MXU-trivial.
+KSUB = 8  # sub-blocks processed per grid step (grid-step overhead, ~2.5us
+          # each, dominates at small blocks; 8 x 256 keeps the same
+          # 2048-row span per step as the old 4 x 512)
+BCAM = 2048  # camera-side kernels have no window constraint: big blocks
 
 
 def _oh_dot(onehot: jnp.ndarray, vals: jnp.ndarray, contract_lhs: int):
@@ -1590,3 +1594,37 @@ def schur_bwd_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
         interpret=interpret,
     )(wstart, ranks_l, cam_p, w_p, ztabT)
     return out[:, :n].T
+
+
+def sort_and_rank_payload(seg_ids: jnp.ndarray, valid: jnp.ndarray,
+                          n_segments: int, payloads: tuple):
+    """sort_and_rank variant that carries payload columns through ONE
+    multi-operand lax.sort instead of argsort + per-column reorder gathers
+    (measured 128 ms/solve at 1.48M obs: 90 ms argsort + 37 ms for five
+    XLA row gathers — the gathers ride along the sorting network for far
+    less than their standalone cost).
+
+    Returns (payloads_sorted, seg_sorted, ranks, rank_to_seg, rank_valid);
+    seg_sorted is the sorted segment id column (junk where invalid)."""
+    o = seg_ids.shape[0]
+    key = jnp.where(valid, seg_ids.astype(jnp.int32), jnp.int32(2**30))
+    sorted_ = jax.lax.sort(
+        (key, seg_ids.astype(jnp.int32)) + tuple(payloads),
+        num_keys=1, is_stable=True)
+    key_s = sorted_[0]
+    seg_sorted = sorted_[1]
+    payloads_s = sorted_[2:]
+    valid_s = key_s < jnp.int32(2**30)
+    newflag = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (key_s[1:] != key_s[:-1]).astype(jnp.int32),
+    ])
+    ranks = jnp.cumsum(newflag) - 1
+    ranks = jnp.where(valid_s, ranks, jnp.int32(2**30))
+    drop = n_segments
+    ranks_c = jnp.minimum(ranks, drop)
+    rank_to_seg = jnp.zeros((n_segments + 1,), jnp.int32).at[ranks_c].set(
+        seg_sorted, mode="drop")[:n_segments]
+    rank_valid = jnp.zeros((n_segments + 1,), bool).at[ranks_c].set(
+        valid_s, mode="drop")[:n_segments]
+    return payloads_s, seg_sorted, ranks, rank_to_seg, rank_valid
