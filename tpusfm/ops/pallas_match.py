@@ -9,21 +9,25 @@ each A-tile streams over B-tiles, computes the -2*A@B^T contribution on the
 MXU, and folds a running top-2 per row — the (Na, Nb) matrix never exists,
 so HBM traffic drops from O(Na*Nb) to O((Na+Nb)*D).
 
-Round-4 kernel structure (verdict item 7 — the round-3 kernel ran at 8.3
-TFLOP/s because its per-tile fold did ~5 LANE REDUCTIONS (min/argmin/
-masked-min) per B tile, serializing the VPU against the MXU):
+Round-4 kernel structure (verdict item 7) and its measured outcome:
 
-- the per-tile fold is now ELEMENTWISE per COLUMN: running (m1, m2) and
-  the tile id of m1 are maintained per (row, column) position with pure
-  min/max/select ops, so each loop step is one MXU matmul + ~6 VPU passes
-  that pipeline with the next matmul;
-- the lane reductions (min / argmin / top-2 merge across the TN columns)
-  happen ONCE per program instead of once per tile.  Per-column top-2 is
-  exact: the global best lives in column c* = argmin(m1); the global
-  second-best is min(m2[c*], min_{c != c*} m1[c]) = min(min(m1 w/o c*),
-  min(m2));
+- phase 1 runs every distance tile back-to-back on the MXU into VMEM
+  scratch; phase 2 does a carry-free TREE top-2 merge (log2(nt) pairwise
+  elementwise combines) and ONE final lane reduction — no per-tile lane
+  reductions (r03) and no loop-carried (TM, TN) accumulators (a first
+  r4 attempt; both serialize against the MXU);
 - the B mask is folded into the |b|^2 row (+inf where masked) — no mask
   op in the loop;
+- measured in the 16-iteration in-situ harness (scripts/match_ab.py):
+  8.1 TFLOP/s vs r03's 8.3, elementwise-fold 6.1, 256x256 tiles 7.4 —
+  and plain XLA batched einsum at the same shapes reaches only 6.7,
+  while a 4096^3 bf16 matmul measures 53 TFLOP/s on this chip (the
+  practical peak; nominal 197 is not reachable even by pure XLA
+  matmuls here).  Conclusion: the matcher's (1024, 128, 1024) shapes
+  are fill/drain-bound on the MXU (K = D = 128), every fold structure
+  lands within 6-8 TFLOP/s, and this kernel beats XLA's own matmul
+  path by ~20% while never materializing the distance matrix in HBM —
+  the r03 "serial fold" theory is refuted by measurement;
 - `quantized=True` runs the matmul in bf16: SIFT descriptors are
   u8-quantized (integers 0..255, features/sift.py RootSIFT x512), which
   bf16 represents EXACTLY, and the f32 accumulator holds every partial
@@ -47,37 +51,58 @@ from jax.experimental.pallas import tpu as pltpu
 _INF = 3.4e38
 INF = jnp.float32(_INF)
 TM = 128  # A rows per program
-TN = 128  # B tile
+TN = 128  # B tile (256x256 tiles measured SLOWER: 7.4 vs 8.1 TFLOP/s)
 
 
-def _match_kernel(a_ref, b_ref, b2m_ref, d1_ref, d2_ref, i1_ref):
+def _match_kernel(a_ref, b_ref, b2m_ref, d1_ref, d2_ref, i1_ref, dts_ref):
     """a_ref: (TM, D); b_ref: (Nb, D); b2m_ref: (1, Nb) = |b|^2 with +inf at
-    masked rows; outputs per A row: d1, d2 (squared L2 incl. |a|^2), i1."""
+    masked rows; dts_ref: VMEM scratch (nt, TM, TN); outputs per A row:
+    d1, d2 (squared L2 incl. |a|^2), i1.
+
+    Two phases so the MXU never waits on the fold (the round-3 kernel's
+    per-tile lane reductions — and a first round-4 attempt's loop-carried
+    (TM, TN) top-2 accumulators — both serialized VPU work against the
+    matmuls; 8.3 / 6.1 TFLOP/s respectively):
+      1. all nt distance tiles back-to-back on the MXU into VMEM scratch
+         (independent matmuls — Mosaic pipelines them);
+      2. a carry-free TREE top-2 merge over the tiles (log2(nt) pairwise
+         (m1, m2, idx) combines, pure elementwise VPU), then one final
+         lane reduction over the TN columns."""
     nb = b_ref.shape[0]
+    nt = nb // TN
     inf = jnp.float32(_INF)  # literal: pallas kernels cannot capture consts
     a = a_ref[:]
     af = a.astype(jnp.float32)
     a2 = jnp.sum(af * af, axis=1)  # (TM,) f32 (bf16 squares are not exact)
 
-    def body(tb, carry):
-        m1, m2, ti = carry
+    def p1(tb, _):
         b = b_ref[pl.ds(tb * TN, TN), :]  # (TN, D)
         prod = jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (TM, TN)
-        d = b2m_ref[0, pl.ds(tb * TN, TN)][None, :] - 2.0 * prod
-        # Elementwise per-column top-2 fold (old m1 on the right-hand sides).
-        m2 = jnp.minimum(m2, jnp.maximum(m1, d))
-        ti = jnp.where(d < m1, tb, ti)
-        m1 = jnp.minimum(m1, d)
+        dts_ref[tb] = b2m_ref[0, pl.ds(tb * TN, TN)][None, :] - 2.0 * prod
+        return 0
+
+    jax.lax.fori_loop(0, nt, p1, 0, unroll=True)
+
+    # Phase 2: tree merge of (m1, m2, tile-idx) triples.
+    def combine(x, y):
+        xm1, xm2, xi = x
+        ym1, ym2, yi = y
+        m1 = jnp.minimum(xm1, ym1)
+        m2 = jnp.minimum(jnp.maximum(xm1, ym1), jnp.minimum(xm2, ym2))
+        ti = jnp.where(ym1 < xm1, yi, xi)
         return m1, m2, ti
 
-    init = (
-        jnp.full((TM, TN), inf, jnp.float32),
-        jnp.full((TM, TN), inf, jnp.float32),
-        jnp.zeros((TM, TN), jnp.int32),
-    )
-    m1, m2, ti = jax.lax.fori_loop(0, nb // TN, body, init)
+    tiles = [(dts_ref[t], jnp.full((TM, TN), inf, jnp.float32),
+              jnp.full((TM, TN), t, jnp.int32)) for t in range(nt)]
+    while len(tiles) > 1:
+        nxt = [combine(tiles[i], tiles[i + 1])
+               for i in range(0, len(tiles) - 1, 2)]
+        if len(tiles) % 2:
+            nxt.append(tiles[-1])
+        tiles = nxt
+    m1, m2, ti = tiles[0]
 
     # Once-per-program lane reductions over the TN columns.
     best1 = jnp.min(m1, axis=1)
@@ -142,6 +167,7 @@ def match_topk2(da, db, mask_b, interpret: bool = False,
             jax.ShapeDtypeStruct((na_p // TM, TM), jnp.float32),
             jax.ShapeDtypeStruct((na_p // TM, TM), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((nb_p // TN, TM, TN), jnp.float32)],
         interpret=interpret,
     )(a, b, b2m)
     return d1.reshape(-1)[:na], d2.reshape(-1)[:na], i1.reshape(-1)[:na]
