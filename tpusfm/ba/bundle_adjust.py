@@ -668,42 +668,51 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         a candidate's linearization AS its accept-test evaluation and never
         run a separate cost pass (two-pass accept, PERF.md lever #2)."""
         if fused:
-            # One pallas pass over the obs table produces the fused value
-            # tables (Jacobians computed in closed form in-kernel; PERF.md
-            # lever #1) — only the segment reductions remain.
+            # ONE pallas pass over the obs table produces the REDUCED packed
+            # camera/group/point systems directly (linearize_reduce_radial3_t:
+            # in-kernel one-hot reductions reusing the gather one-hots —
+            # PERF.md round-4 lever; the ~330 MB of per-obs value tables
+            # never touch HBM).
             R = lie.so3_exp(ps[:, :3])
             Jr = lie.so3_right_jacobian(ps[:, :3])
             camtab = jnp.concatenate(
                 [ps[:, 3:6], R.reshape(C, 9), Jr.reshape(C, 9)], axis=1)
             pts_rank = pts if rank_space else jnp.where(
                 rank_valid[:, None], pts[safe_r2p], 0.0)
-            outs = ot.linearize_radial3_t(
+            outs = ot.linearize_reduce_radial3_t(
                 camtab, gi, pts_rank, obs_cam, obs_grp, ranks, obs_uvT,
                 obs_w, refine=refine, refine_mask=cfg.refine_mask(),
                 huber_delta=cfg.huber_delta, interpret=itp,
                 w_dtype=cfg.w_dtype)
             if refine:
-                camvals_t, ptvals_t, Wc_flat, grpvals_t, Wg_flat = outs
+                camred, ptred, Wc_flat, grpred, Wg_flat = outs
             else:
-                camvals_t, ptvals_t, Wc_flat = outs
+                camred, ptred, Wc_flat = outs
                 Wg_flat = None
-            camred = cam_reduce_t(camvals_t)
+            camred = _maybe_psum(camred, ax)
+            full66 = jnp.asarray(ot._FULL66, jnp.int32)
             sys = {
-                "Hcc": camred[:, : D * D].reshape(C, D, D),
-                "gc": camred[:, D * D: D * D + D],
+                "Hcc": camred[:, full66].reshape(C, D, D),
+                "gc": camred[:, 21:27],
                 "Wc": Wc_flat,
             }
             cost = jnp.sum(camred[:, -1])
             if refine:
-                sys["Hcg"] = camred[:, D * D + D: D * D + D + D * E].reshape(
-                    C, D, E)
-                grpred = grp_reduce_t(grpvals_t)
-                sys["Hgg"] = grpred[:, : E * E].reshape(G, E, E)
-                sys["gg"] = grpred[:, E * E:]
+                sys["Hcg"] = camred[:, 27:27 + D * E].reshape(C, D, E)
+                grpred = _maybe_psum(grpred, ax)
+                full77 = jnp.asarray(ot._FULL77, jnp.int32)
+                sys["Hgg"] = grpred[:, full77].reshape(G, E, E)
+                sys["gg"] = grpred[:, 28:35]
                 sys["Wg"] = Wg_flat
-            ptred = pt_reduce_t(ptvals_t)
-            sys["Hpp"] = ptred[:, :9].reshape(P, 3, 3)
-            sys["gp"] = ptred[:, 9:]
+            # ptred rows are RANK-indexed; convert exactly like pt_reduce_t.
+            if not rank_space:
+                ptred = _maybe_psum(
+                    jnp.zeros((P, 9), ptred.dtype).at[rank_scatter_ids].add(
+                        jnp.where(rank_valid[:, None], ptred, 0.0),
+                        mode="drop"), ax)
+            full33 = jnp.asarray(ot._FULL33, jnp.int32)
+            sys["Hpp"] = ptred[:, full33].reshape(P, 3, 3)
+            sys["gp"] = ptred[:, 6:9]
         else:
             pose_o = _gather(ps, obs_cam)
             intr_o = _gather(gi, obs_grp)

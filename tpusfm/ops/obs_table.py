@@ -1086,7 +1086,7 @@ NSUB_T = BL_T // B    # 512-lane windows per step (rank-window granularity)
 
 
 def _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg, intg,
-                      uv, w_in):
+                      uv, w_in, packed=False):
     """T-layout twin of _linearize_math: every per-obs quantity is a
     (1, BL) lane row; concatenations stack rows (axis 0).
     X (3, BL), camg (21, BL), intg (7, BL), uv (2, BL), w_in (1, BL).
@@ -1165,8 +1165,18 @@ def _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg, intg,
         Jg_u = Jg_u * w
         Jg_v = Jg_v * w
 
-    camvals = [Jc_u[i:i + 1, :] * Jc_u + Jc_v[i:i + 1, :] * Jc_v
-               for i in range(6)]                                  # Hcc 36
+    if packed:
+        # Symmetric packing: only the upper triangles of Hcc / Hpp / Hgg are
+        # emitted ((i, j), j >= i, row-major) — 21 vs 36, 6 vs 9, 28 vs 49
+        # rows.  Cuts both the VPU products and the reduce-matmul FLOPs by
+        # the same ratio; the caller reconstructs full blocks with a cheap
+        # C/P-row gather (_FULL66 / _FULL33 / _FULL77 below).
+        camvals = [Jc_u[i:i + 1, :] * Jc_u[i:, :]
+                   + Jc_v[i:i + 1, :] * Jc_v[i:, :]
+                   for i in range(6)]                              # Hcc 21
+    else:
+        camvals = [Jc_u[i:i + 1, :] * Jc_u + Jc_v[i:i + 1, :] * Jc_v
+                   for i in range(6)]                              # Hcc 36
     camvals.append(Jc_u * ru + Jc_v * rv)                          # gc 6
     if refine:
         camvals += [Jc_u[i:i + 1, :] * Jg_u + Jc_v[i:i + 1, :] * Jg_v
@@ -1177,8 +1187,13 @@ def _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg, intg,
     camvals.append(jnp.where(valid, hcost * w_in, 0.0))            # cost 1
     camvals_v = jnp.concatenate(camvals, axis=0)
 
-    ptvals = [Jp_u[i:i + 1, :] * Jp_u + Jp_v[i:i + 1, :] * Jp_v
-              for i in range(3)]                                   # Hpp 9
+    if packed:
+        ptvals = [Jp_u[i:i + 1, :] * Jp_u[i:, :]
+                  + Jp_v[i:i + 1, :] * Jp_v[i:, :]
+                  for i in range(3)]                               # Hpp 6
+    else:
+        ptvals = [Jp_u[i:i + 1, :] * Jp_u + Jp_v[i:i + 1, :] * Jp_v
+                  for i in range(3)]                               # Hpp 9
     ptvals.append(Jp_u * ru + Jp_v * rv)                           # gp 3
     ptvals_v = jnp.concatenate(ptvals, axis=0)
 
@@ -1187,8 +1202,13 @@ def _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg, intg,
         axis=0)                                                    # W_c 18
 
     if refine:
-        grpvals = [Jg_u[i:i + 1, :] * Jg_u + Jg_v[i:i + 1, :] * Jg_v
-                   for i in range(7)]                              # Hgg 49
+        if packed:
+            grpvals = [Jg_u[i:i + 1, :] * Jg_u[i:, :]
+                       + Jg_v[i:i + 1, :] * Jg_v[i:, :]
+                       for i in range(7)]                          # Hgg 28
+        else:
+            grpvals = [Jg_u[i:i + 1, :] * Jg_u + Jg_v[i:i + 1, :] * Jg_v
+                       for i in range(7)]                          # Hgg 49
         grpvals.append(Jg_u * ru + Jg_v * rv)                      # gg 7
         grpvals_v = jnp.concatenate(grpvals, axis=0)
         wg_v = jnp.concatenate(
@@ -1340,6 +1360,256 @@ def linearize_radial3_t(camtab: jnp.ndarray, grptab: jnp.ndarray,
         interpret=interpret,
     )(wstart, ranks_p, cam_p, grp_p, uv_p, w_p, camtabT, grptabT, ptsT)
     return tuple(out[:, :o] for out in outs)
+
+
+# Packed-symmetric row layouts (see _linearize_math_t packed=True).
+# _PACK_POS[n][i][j] = row index of block entry (i, j) in the packed
+# upper-triangular order ((i, j), j >= i, row-major).
+def _pack_pos(n):
+    pos, k = {}, 0
+    for i in range(n):
+        for j in range(i, n):
+            pos[(i, j)] = k
+            k += 1
+    return pos
+
+
+def _full_idx(n):
+    """Static gather indices reconstructing a full (n, n) block table from
+    packed upper-triangular columns."""
+    pos = _pack_pos(n)
+    return tuple(pos[(min(i, j), max(i, j))] for i in range(n)
+                 for j in range(n))
+
+
+_FULL66 = _full_idx(6)   # 36 ints into 21 packed columns
+_FULL33 = _full_idx(3)   # 9 ints into 6 packed columns
+_FULL77 = _full_idx(7)   # 49 ints into 28 packed columns
+
+
+def _linearize_reduce_t_kernel(refine, huber_delta, refine_mask, eps,
+                               wstart_ref, ranks_ref, cam_ref, grp_ref,
+                               uv_ref, w_ref, camtabT_ref, grptabT_ref,
+                               ptsT_ref, *out_refs):
+    """Fused linearization + segment reduction: ONE pass over the obs table
+    produces the camera/group normal-equation sums (resident accumulators)
+    and the per-rank point sums (windowed resident accumulator) directly —
+    the per-obs value tables never touch HBM (they were ~330 MB/pass at the
+    500-cam bench shape), and the reduce contractions REUSE the gather
+    one-hots already in VMEM (dot_general contracting the lane dim of both
+    operands).  Only the Schur coupling table W is written out (the CG loop
+    re-reads it every matvec)."""
+    if refine:
+        camred_ref, ptred_ref, wc_ref, grpred_ref, wg_ref = out_refs
+    else:
+        camred_ref, ptred_ref, wc_ref = out_refs
+    s = pl.program_id(0)
+    Cp = camtabT_ref.shape[1]
+    Gp = grptabT_ref.shape[1]
+
+    @pl.when(s == 0)
+    def _init():
+        camred_ref[:] = jnp.zeros_like(camred_ref)
+        ptred_ref[:] = jnp.zeros_like(ptred_ref)
+        if refine:
+            grpred_ref[:] = jnp.zeros_like(grpred_ref)
+
+    cam = cam_ref[:]  # (1, BL)
+    rowsC = jax.lax.broadcasted_iota(jnp.int32, (Cp, BL_T), 0)
+    onehot_c = (rowsC == cam).astype(jnp.bfloat16)
+    camg = _oh_dot_t(camtabT_ref[:], onehot_c)      # (21, BL)
+    grp = grp_ref[:]
+    rowsG = jax.lax.broadcasted_iota(jnp.int32, (Gp, BL_T), 0)
+    onehot_g = (rowsG == grp).astype(jnp.bfloat16)
+    intg = _oh_dot_t(grptabT_ref[:], onehot_g)      # (7, BL)
+
+    rk = ranks_ref[:]  # (1, BL)
+    xs = []
+    ohs = []
+    for k in range(NSUB_T):
+        base = wstart_ref[s * NSUB_T + k] * B
+        win = ptsT_ref[:, pl.ds(base, 2 * B)]       # (3, 2B)
+        rk_k = rk[:, k * B:(k + 1) * B]             # (1, B)
+        rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+        onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+        ohs.append(onehot)
+        xs.append(_oh_dot_t(win, onehot))           # (3, B)
+    X = jnp.concatenate(xs, axis=1)                 # (3, BL)
+
+    outs = _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg,
+                             intg, uv_ref[:], w_ref[:], packed=True)
+    camvals, ptvals, wc = outs[0], outs[1], outs[2]
+    wc_ref[:] = wc.astype(wc_ref.dtype)
+    if refine:
+        grpvals, wg = outs[3], outs[4]
+        wg_ref[:] = wg.astype(wg_ref.dtype)
+
+    dn_tt = (((1,), (1,)), ((), ()))  # contract the lane dim of BOTH
+
+    def _reduce_tt(vals, onehot, out_n):
+        """(R, BL/B) x (N, BL/B) -> exact-f32 (R, N) via split3 stacked on
+        sublanes: one MXU contraction instead of three."""
+        r = vals.shape[0]
+        v3 = jnp.concatenate(_split3(vals), axis=0)  # (3R, ·) bf16
+        acc = jax.lax.dot_general(v3, onehot, dn_tt,
+                                  preferred_element_type=jnp.float32)
+        return acc[:r] + acc[r:2 * r] + acc[2 * r:]
+
+    camred_ref[:] += _reduce_tt(camvals, onehot_c, Cp)
+    if refine:
+        grpred_ref[:] += _reduce_tt(grpvals, onehot_g, Gp)
+
+    for k in range(NSUB_T):
+        base = wstart_ref[s * NSUB_T + k] * B
+        pt_k = ptvals[:, k * B:(k + 1) * B]          # (9, B)
+        ptred_ref[:, pl.ds(base, 2 * B)] += _reduce_tt(pt_k, ohs[k], 2 * B)
+
+
+@partial(jax.jit, static_argnames=("refine", "refine_mask", "huber_delta",
+                                   "interpret", "w_dtype"))
+def linearize_reduce_radial3_t(camtab: jnp.ndarray, grptab: jnp.ndarray,
+                               pts_rank: jnp.ndarray, obs_cam: jnp.ndarray,
+                               obs_grp: jnp.ndarray, ranks: jnp.ndarray,
+                               obs_uvT: jnp.ndarray, obs_w: jnp.ndarray,
+                               refine: bool, refine_mask: tuple,
+                               huber_delta: float, interpret: bool = False,
+                               w_dtype: str = "f32"):
+    """Fused linearize + reduce (round-4 BA fixed-cost lever): returns
+    ALREADY-REDUCED packed systems instead of per-obs value tables:
+
+      (camred (C, 28|70), ptred_rank (P, 9), wcT (18, O)
+       [, grpred (G, 35), wgT (21, O)])
+
+    camred columns: [Hcc packed-sym 21 | gc 6 | (Hcg row-major 42) | cost 1];
+    ptred columns:  [Hpp packed-sym 6 | gp 3] — RANK-indexed rows;
+    grpred columns: [Hgg packed-sym 28 | gg 7].
+    Full blocks reconstruct via the static _FULL66/_FULL33/_FULL77 gathers.
+    Sharded solves psum camred/grpred and scatter+psum ptred exactly like
+    the separate-reduction path.  Replaces linearize_radial3_t +
+    segsum_table_t + segsum_sorted_t (measured 13.7 ms -> see PERF.md)."""
+    o = ranks.shape[0]
+    c = camtab.shape[0]
+    g = grptab.shape[0]
+    p = pts_rank.shape[0]
+    if interpret:
+        # CPU path: the (verified) un-fused pieces + XLA segment sums,
+        # repacked to the fused return contract.
+        outs = linearize_radial3_t(camtab, grptab, pts_rank, obs_cam,
+                                   obs_grp, ranks, obs_uvT, obs_w,
+                                   refine=refine, refine_mask=refine_mask,
+                                   huber_delta=huber_delta, interpret=True,
+                                   w_dtype=w_dtype)
+        if refine:
+            camvalsT, ptvalsT, wcT, grpvalsT, wgT = outs
+        else:
+            camvalsT, ptvalsT, wcT = outs
+        safe_rk = jnp.minimum(ranks, p)
+        camred_f = jax.ops.segment_sum(camvalsT.T, obs_cam, c)
+        pck6 = [i * 6 + j for i in range(6) for j in range(i, 6)]
+        cam_cols = ([camred_f[:, k] for k in pck6]
+                    + [camred_f[:, 36 + k] for k in range(6)])
+        if refine:
+            cam_cols += [camred_f[:, 42 + k] for k in range(42)]
+        cam_cols += [camred_f[:, -1]]
+        camred = jnp.stack(cam_cols, axis=1)
+        ptred_f = jax.ops.segment_sum(ptvalsT.T, safe_rk, p + 1)[:p]
+        pck3 = [i * 3 + j for i in range(3) for j in range(i, 3)]
+        ptred = jnp.stack([ptred_f[:, k] for k in pck3]
+                          + [ptred_f[:, 9 + k] for k in range(3)], axis=1)
+        if refine:
+            grpred_f = jax.ops.segment_sum(grpvalsT.T, obs_grp, g)
+            pck7 = [i * 7 + j for i in range(7) for j in range(i, 7)]
+            grpred = jnp.stack([grpred_f[:, k] for k in pck7]
+                               + [grpred_f[:, 49 + k] for k in range(7)],
+                               axis=1)
+            return camred, ptred, wcT, grpred, wgT
+        return camred, ptred, wcT
+    c_p = _ceil_to(max(c, 1), 8)
+    g_p = _ceil_to(max(g, 1), 8)
+    p_tab = _ceil_to(max(p, 1), B) + B
+    o_p = _ceil_to(max(o, 1), BL_T)
+
+    def padT(x, width):
+        padn = o_p - x.shape[1]
+        if padn <= 0:
+            return x
+        return jnp.pad(x, ((0, 0), (0, padn)), constant_values=width)
+
+    ranks_p = padT(ranks.astype(jnp.int32).reshape(1, -1), p_tab - B)
+    cam_p = padT(obs_cam.astype(jnp.int32).reshape(1, -1), c_p)
+    grp_p = padT(obs_grp.astype(jnp.int32).reshape(1, -1), g_p)
+    uv_p = padT(obs_uvT.astype(jnp.float32), 0)
+    w_p = padT(obs_w.astype(jnp.float32).reshape(1, -1), 0)
+    camtabT = _pad_rows(camtab.astype(jnp.float32), c_p).T  # (21, c_p)
+    grptabT = _pad_rows(grptab.astype(jnp.float32), g_p).T  # (7, g_p)
+    ptsT = _pad_rows(pts_rank.astype(jnp.float32), p_tab).T  # (3, p_tab)
+    wstart = jnp.minimum(ranks_p[0, ::B] // B, p_tab // B - 2).astype(jnp.int32)
+
+    cam_w = 70 if refine else 28
+    wdt = jnp.bfloat16 if w_dtype == "bf16" else jnp.float32
+    if refine:
+        widths = [(cam_w, c_p), (9, p_tab), (18, o_p), (35, g_p), (21, o_p)]
+        dts = [jnp.float32, jnp.float32, wdt, jnp.float32, wdt]
+        out_specs = [
+            pl.BlockSpec((cam_w, c_p), lambda s, ws: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, p_tab), lambda s, ws: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, BL_T), lambda s, ws: (0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((35, g_p), lambda s, ws: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((21, BL_T), lambda s, ws: (0, s),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        widths = [(cam_w, c_p), (9, p_tab), (18, o_p)]
+        dts = [jnp.float32, jnp.float32, wdt]
+        out_specs = [
+            pl.BlockSpec((cam_w, c_p), lambda s, ws: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, p_tab), lambda s, ws: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, BL_T), lambda s, ws: (0, s),
+                         memory_space=pltpu.VMEM),
+        ]
+    outs = pl.pallas_call(
+        partial(_linearize_reduce_t_kernel, refine, float(huber_delta),
+                tuple(refine_mask), 1e-8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(o_p // BL_T,),
+            in_specs=[
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LIN_CAM_DIM, c_p), lambda s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((7, g_p), lambda s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, p_tab), lambda s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        ),
+        out_shape=[jax.ShapeDtypeStruct(w, dt) for w, dt in zip(widths, dts)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart, ranks_p, cam_p, grp_p, uv_p, w_p, camtabT, grptabT, ptsT)
+    if refine:
+        camredT, ptredT, wcT, grpredT, wgT = outs
+        return (camredT[:, :c].T, ptredT[:, :p].T, wcT[:, :o],
+                grpredT[:, :g].T, wgT[:, :o])
+    camredT, ptredT, wcT = outs
+    return camredT[:, :c].T, ptredT[:, :p].T, wcT[:, :o]
 
 
 def _segsum_table_t_kernel(idx_ref, vals_ref, out_ref):
