@@ -590,13 +590,20 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
 
     # One multi-operand sort carries every obs column with the key (saves
     # ~40 ms of reorder gathers per solve vs argsort + 5 gathers at the
-    # 1.48M-obs bench shape).
+    # 1.48M-obs bench shape).  Sort cost scales with operand count, so the
+    # payload is trimmed to 3 columns: cam+group pack into one int32
+    # (cam < 2^15, group < 2^16 — the pallas path is gated far below both)
+    # and the binary obs weight is NOT carried at all — it reconstructs
+    # from the sort key (invalid rows sort to rank 2^30).
+    packed_cg = obs_cam.astype(jnp.int32) * 65536 + obs_grp.astype(jnp.int32)
     (payloads, obs_pt, ranks, rank_to_pt, rank_valid) = \
         ot.sort_and_rank_payload(
             obs_pt, obs_w > 0, P,
-            (obs_cam.astype(jnp.int32), obs_grp.astype(jnp.int32),
-             obs_uv[:, 0], obs_uv[:, 1], obs_w))
-    obs_cam, obs_grp, uv0, uv1, obs_w = payloads
+            (packed_cg, obs_uv[:, 0], obs_uv[:, 1]))
+    packed_s, uv0, uv1 = payloads
+    obs_cam = packed_s // 65536
+    obs_grp = packed_s - obs_cam * 65536
+    obs_w = (ranks < jnp.int32(2 ** 30)).astype(jnp.float32)
     obs_uv = jnp.stack([uv0, uv1], axis=1)
     rank_scatter_ids = jnp.where(rank_valid, rank_to_pt, P)
     safe_r2p = jnp.minimum(rank_to_pt, P - 1)
@@ -841,6 +848,13 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
 
         def mv(v):
             vc = v["c"] * upd_c
+            if ax is None and not refine:
+                # Fused round trip: one kernel does fwd + window-resident
+                # Hpp^-1 apply + bwd (ops/obs_table.py schur_mv_t).
+                bc, y_r = ot.schur_mv_t(Wc_flat, obs_cam, ranks, vc,
+                                        Hinv_rank, P, interpret=itp)
+                Hvc = jnp.einsum("cij,cj->ci", Hcc_d, vc)
+                return {"c": (Hvc - bc) * upd_c}, y_r
             y_r = ot.schur_fwd_t(Wc_flat, obs_cam, ranks, vc, P, interpret=itp)
             if refine:
                 vg = v["g"] * upd_g

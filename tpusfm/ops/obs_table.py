@@ -1866,6 +1866,152 @@ def schur_bwd_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
     return out[:, :n].T
 
 
+def _oh_dot_tt(vals: jnp.ndarray, onehot: jnp.ndarray):
+    """Exact-f32 (k, N) = vals (k, M) @ onehot (N, M)^T at bf16 MXU rate —
+    the lane dim of BOTH operands contracts, so gather-orientation one-hots
+    are reused for scatters/reduces without a transpose."""
+    hi, mid, lo = _split3(vals)
+    oh = onehot if onehot.dtype == jnp.bfloat16 else onehot.astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+
+    def d(v):
+        return jax.lax.dot_general(v, oh, dn, preferred_element_type=jnp.float32)
+
+    return d(hi) + d(mid) + d(lo)
+
+
+def _schur_mv_t_kernel(wstart_ref, ranks_ref, cam_ref, w_ref, vtabT_ref,
+                       hinvT_ref, y_ref, bc_ref):
+    """Fused Schur matvec round trip: grid (2, nblocks).  Phase 0 accumulates
+    y = W^T v into the resident (3, p_tab) output; phase 1 applies the
+    window-resident Hpp^-1 on the fly and reduces b_c = W (Hpp^-1 y) into the
+    resident camera accumulator.  One kernel launch per CG iteration instead
+    of schur_fwd_t + XLA Hpp^-1 glue + schur_bwd_t; y stays in VMEM between
+    phases (constant-index output block)."""
+    ph = pl.program_id(0)
+    s = pl.program_id(1)
+    ncam = vtabT_ref.shape[1]
+
+    @pl.when((ph == 0) & (s == 0))
+    def _init():
+        y_ref[:] = jnp.zeros_like(y_ref)
+        bc_ref[:] = jnp.zeros_like(bc_ref)
+
+    cam = cam_ref[:]  # (1, BL)
+    rowsC = jax.lax.broadcasted_iota(jnp.int32, (ncam, BL_T), 0)
+    onehot_c = (rowsC == cam).astype(jnp.bfloat16)
+    rk = ranks_ref[:]  # (1, BL)
+    w = w_ref[:].astype(jnp.float32)  # (18, BL)
+
+    @pl.when(ph == 0)
+    def _fwd():
+        vg = _oh_dot_t(vtabT_ref[:], onehot_c)       # (6, BL)
+        wv = jnp.concatenate([
+            sum(w[d * 3 + kk:d * 3 + kk + 1, :] * vg[d:d + 1, :]
+                for d in range(6))
+            for kk in range(3)
+        ], axis=0)                                   # (3, BL)
+        for kk in range(NSUB_T):
+            base = wstart_ref[s * NSUB_T + kk] * B
+            rk_k = rk[:, kk * B:(kk + 1) * B]
+            rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+            onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+            y_ref[:, pl.ds(base, 2 * B)] += _oh_dot_tt(
+                wv[:, kk * B:(kk + 1) * B], onehot)
+
+    @pl.when(ph == 1)
+    def _bwd():
+        zgs = []
+        for kk in range(NSUB_T):
+            base = wstart_ref[s * NSUB_T + kk] * B
+            ywin = y_ref[:, pl.ds(base, 2 * B)]      # (3, 2B)
+            hwin = hinvT_ref[:, pl.ds(base, 2 * B)]  # (9, 2B)
+            zwin = jnp.concatenate([
+                sum(hwin[i * 3 + j:i * 3 + j + 1, :] * ywin[j:j + 1, :]
+                    for j in range(3))
+                for i in range(3)
+            ], axis=0)                               # (3, 2B)
+            rk_k = rk[:, kk * B:(kk + 1) * B]
+            rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+            onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+            zgs.append(_oh_dot_t(zwin, onehot))      # (3, B)
+        zg = jnp.concatenate(zgs, axis=1)            # (3, BL)
+        bk = jnp.concatenate([
+            sum(w[d * 3 + kk:d * 3 + kk + 1, :] * zg[kk:kk + 1, :]
+                for kk in range(3))
+            for d in range(6)
+        ], axis=0)                                   # (6, BL)
+        b3 = jnp.concatenate(_split3(bk), axis=0)    # (18, BL)
+        acc = jax.lax.dot_general(b3, onehot_c, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        bc_ref[:] += acc[:6] + acc[6:12] + acc[12:18]
+
+
+@partial(jax.jit, static_argnames=("p", "interpret"))
+def schur_mv_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
+               idx_sorted: jnp.ndarray, vtab: jnp.ndarray,
+               hinv_rank: jnp.ndarray, p: int, interpret: bool = False):
+    """Fused CG matvec over the coupling table: returns
+    (bc (C, D) = W Hpp^-1 W^T v reduced per camera, y (p, 3) = W^T v per
+    rank).  hinv_rank is the (p, 3, 3) damped point-block inverse in RANK
+    space.  Single kernel, two grid phases; W is read twice (its ~53 MB
+    bf16 is ~0.13 ms of the measured ~5.7 ms/CG-iter — the savings are the
+    second launch, the XLA Hpp^-1 glue and the y/z HBM round trips)."""
+    if interpret:
+        y = schur_fwd_t(wT, obs_cam, idx_sorted, vtab, p, interpret=True)
+        z = jnp.einsum("pij,pj->pi", hinv_rank, y)
+        bc = schur_bwd_t(wT, obs_cam, idx_sorted, z, vtab.shape[0],
+                         interpret=True)
+        return bc, y
+    dd3, o = wT.shape
+    c = vtab.shape[0]
+    o_p = _ceil_to(max(o, 1), BL_T)
+    p_tab = _ceil_to(max(p, 1), B) + B
+    c_p = _ceil_to(max(c, 1), 8)
+    ranks_p = jnp.pad(idx_sorted.astype(jnp.int32).reshape(1, -1),
+                      ((0, 0), (0, o_p - o)), constant_values=p_tab - B) \
+        if o_p > o else idx_sorted.astype(jnp.int32).reshape(1, -1)
+    cam_p = jnp.pad(obs_cam.astype(jnp.int32).reshape(1, -1),
+                    ((0, 0), (0, o_p - o)), constant_values=c_p) \
+        if o_p > o else obs_cam.astype(jnp.int32).reshape(1, -1)
+    w_p = jnp.pad(wT, ((0, 0), (0, o_p - o))) if o_p > o else wT
+    vtabT = _pad_rows(vtab.astype(jnp.float32), c_p).T      # (6, c_p)
+    hinvT = _pad_rows(hinv_rank.reshape(p, 9).astype(jnp.float32),
+                      p_tab).T                              # (9, p_tab)
+    wstart = jnp.minimum(ranks_p[0, ::B] // B, p_tab // B - 2).astype(jnp.int32)
+    y_out, bc_out = pl.pallas_call(
+        _schur_mv_t_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(2, o_p // BL_T),
+            in_specs=[
+                pl.BlockSpec((1, BL_T), lambda ph, s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BL_T), lambda ph, s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dd3, BL_T), lambda ph, s, ws: (0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dd3 // 3, c_p), lambda ph, s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((9, p_tab), lambda ph, s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((3, p_tab), lambda ph, s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dd3 // 3, c_p), lambda ph, s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((3, p_tab), jnp.float32),
+                   jax.ShapeDtypeStruct((dd3 // 3, c_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wstart, ranks_p, cam_p, w_p, vtabT, hinvT)
+    return bc_out[:, :c].T, y_out[:, :p].T
+
+
 def sort_and_rank_payload(seg_ids: jnp.ndarray, valid: jnp.ndarray,
                           n_segments: int, payloads: tuple):
     """sort_and_rank variant that carries payload columns through ONE
