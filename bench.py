@@ -328,9 +328,13 @@ n_views = 120 if small else 1000
 img_h, img_w = 240, 320
 # Several orbit loops: a 1000-view contiguous sequence needs continuous
 # overlap, and repeated sweeps of the same room are exactly the capture
-# pattern of a long handheld sequence.
+# pattern of a long handheld sequence.  The arc scales with n_views to
+# keep the per-view angular spacing at the medium rung's 0.6 deg — at
+# 120 deg / 1000 views adjacent frames are 0.12 deg apart and the
+# two-view bootstrap has no parallax (measured: 0/1000 registered).
 images, gt = render_orbit_images(n_views=n_views, img_h=img_h, img_w=img_w,
-                                 focal=0.9 * img_w, arc_deg=120.0, seed=5)
+                                 focal=0.9 * img_w,
+                                 arc_deg=0.6 * n_views, seed=5)
 cfg = config_from_overrides(**{
     "sift.n_octaves": 3, "sift.max_per_octave": 512, "sift.max_features": 512,
     "matching.pair_mode": "contiguous", "matching.contiguous_window": 6,
