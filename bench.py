@@ -23,8 +23,10 @@ BENCH_SKIP_BASELINE=1 (skip baseline measurement if no cache)
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import subprocess as _sp
 import sys
 import time
 from pathlib import Path
@@ -32,6 +34,87 @@ from pathlib import Path
 import numpy as np
 
 _BASELINE_CACHE = Path(__file__).resolve().parent / "BASELINE_MEASURED.json"
+_RUNG_CACHE = Path(__file__).resolve().parent / "BENCH_CACHE.json"
+_T_START = time.time()
+
+# The driver runs `python bench.py` under an external timeout; round 4's
+# record came back rc=124/unparsed because the pod (~16 min) and
+# mesh_medium (~25 min) rungs pushed the run past it.  Fix (round-4 verdict
+# item 3, the "cache their results to disk across invocations and
+# reuse-if-fresh" option): long rungs persist their results in
+# BENCH_CACHE.json keyed by (rung code hash, preset); a fresh-enough entry
+# is reused and marked {"cached": true, commit, age_h} so the record is
+# transparent about provenance.  A wall-clock budget (BENCH_BUDGET_S)
+# additionally guards the live path: an uncached long rung whose typical
+# cost exceeds the remaining budget is skipped with a note instead of
+# silently eating the whole record.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2700))
+_CACHE_MAX_AGE_H = float(os.environ.get("BENCH_CACHE_MAX_AGE_H", 18))
+
+
+def _git_head() -> str:
+    try:
+        return _sp.run(["git", "rev-parse", "--short", "HEAD"],
+                       capture_output=True, text=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)),
+                       timeout=10).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def _budget_left() -> float:
+    return _BUDGET_S - (time.time() - _T_START)
+
+
+def _rung_cached(name: str, key: str):
+    """Fresh cached result for a long rung, or None."""
+    if os.environ.get("BENCH_NO_CACHE") == "1":
+        return None
+    try:
+        d = json.loads(_RUNG_CACHE.read_text())
+        e = d[name]
+        age_h = (time.time() - e["at"]) / 3600.0
+        if e["key"] == key and age_h <= _CACHE_MAX_AGE_H:
+            out = dict(e["result"])
+            out["cached"] = True
+            out["cached_commit"] = e.get("commit")
+            out["cached_age_h"] = round(age_h, 2)
+            return out
+    except Exception:
+        pass
+    return None
+
+
+def _rung_store(name: str, key: str, result: dict):
+    try:
+        d = json.loads(_RUNG_CACHE.read_text()) if _RUNG_CACHE.exists() else {}
+    except Exception:
+        d = {}
+    d[name] = {"key": key, "at": time.time(), "commit": _git_head(),
+               "result": result}
+    try:
+        _RUNG_CACHE.write_text(json.dumps(d, indent=1))
+    except Exception:
+        pass
+
+
+def _run_long_rung(name: str, key: str, typical_s: float, fn):
+    """Cache-or-run wrapper for a long rung.  Returns the rung result dict,
+    a budget-skip note dict, or None (rung failed)."""
+    hit = _rung_cached(name, key)
+    if hit is not None:
+        log(json.dumps({"rung": name, "cache": "hit",
+                        "age_h": hit.get("cached_age_h")}))
+        return hit
+    if _budget_left() < typical_s:
+        note = {"skipped": f"budget: {typical_s:.0f}s rung, "
+                           f"{_budget_left():.0f}s left (no fresh cache)"}
+        log(json.dumps({"rung": name, "cache": "miss", **note}))
+        return note
+    out = fn()
+    if out is not None:
+        _rung_store(name, key, out)
+    return out
 
 
 def measured_baseline_fps(images, intr, small: bool) -> dict:
@@ -572,7 +655,7 @@ def main():
     # Measured CPU baseline on the same scene (cached in BASELINE_MEASURED.json).
     baseline = measured_baseline_fps(images, gt["intr"], small)
     base_fps = baseline.get("fps")
-    log(f"measured CPU baseline: {baseline}")
+    log("measured CPU baseline: " + json.dumps(baseline))
 
     # Secondary metric (BASELINE.md): BA iterations/s at 500 cameras.
     # Release the sparse run's device buffers first: live scene arrays from
@@ -597,7 +680,7 @@ def main():
             scene2, _ = run_sparse(images, gt["intr"], cfg,
                                    key=jax.random.PRNGKey(1))
             dense_stats = _dense_fps(scene2, images, small)
-            log(f"dense: {dense_stats}")
+            log("dense: " + json.dumps(dense_stats))
             del scene2
             gc.collect()
         except Exception as e:
@@ -607,8 +690,14 @@ def main():
     medium_stats = None
     if os.environ.get("BENCH_SKIP_MEDIUM") != "1":
         try:
-            medium_stats = _medium_bench(small)
-            log(f"medium: {medium_stats}")
+            import inspect
+
+            medium_stats = _run_long_rung(
+                "medium",
+                hashlib.sha1((inspect.getsource(_medium_bench)
+                              + repr(small)).encode()).hexdigest()[:12],
+                typical_s=400.0, fn=lambda: _medium_bench(small))
+            log("medium: " + json.dumps(medium_stats))
             gc.collect()
         except Exception as e:
             log(f"medium bench failed: {type(e).__name__}: {e}")
@@ -654,11 +743,17 @@ def main():
     result_line(partial="pod/mesh sections still running")
 
     # Pod-scale rung (BASELINE config 5): 1000 views end-to-end, on-chip.
+    import inspect
+
     pod_stats = None
     if os.environ.get("BENCH_SKIP_POD") != "1":
         try:
-            pod_stats = _pod_bench(small)
-            log(f"pod: {pod_stats}")
+            pod_stats = _run_long_rung(
+                "pod",
+                hashlib.sha1((inspect.getsource(_pod_bench)
+                              + repr(small)).encode()).hexdigest()[:12],
+                typical_s=900.0, fn=lambda: _pod_bench(small))
+            log("pod: " + json.dumps(pod_stats))
             gc.collect()
         except Exception as e:
             log(f"pod bench failed: {type(e).__name__}: {e}")
@@ -667,13 +762,17 @@ def main():
     mesh_stats = None
     if os.environ.get("BENCH_SKIP_MESH") != "1":
         mesh_stats = _mesh_overhead()
-        log(f"mesh overhead: {mesh_stats}")
+        log("mesh overhead: " + json.dumps(mesh_stats))
 
     # Mesh-mode overhead at the medium rung (sharding actually engages).
     mesh_medium_stats = None
     if os.environ.get("BENCH_SKIP_MESH_MEDIUM") != "1":
-        mesh_medium_stats = _mesh_medium()
-        log(f"mesh medium: {mesh_medium_stats}")
+        mesh_medium_stats = _run_long_rung(
+            "mesh_medium",
+            hashlib.sha1(inspect.getsource(_mesh_medium).encode())
+            .hexdigest()[:12],
+            typical_s=1700.0, fn=_mesh_medium)
+        log("mesh medium: " + json.dumps(mesh_medium_stats))
 
     result_line(pod=pod_stats, mesh_8dev=mesh_stats,
                 mesh_medium=mesh_medium_stats)

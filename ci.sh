@@ -22,6 +22,16 @@ if [[ "${1:-}" == "nightly" ]]; then
     TPUSFM_SLOW=1 python -m pytest tests/test_medium_scale.py tests/test_pod_scale.py -q
     echo "== native TSAN (ingest worker pool) =="
     ./native/build_tsan.sh
+    echo "== on-chip fused-kernel parity (required for ops/obs_table.py changes) =="
+    # Interpret mode delegates the fused T-layout kernels to compositions of
+    # the sublane kernels (lane-dim dynamic ref slices don't lower there), so
+    # the REAL kernel bodies are only exercised on hardware — this check is
+    # the pre-merge gate for ops/obs_table.py kernel changes (ADVICE r04).
+    if python -c "import jax; assert jax.default_backend() != 'cpu'" 2>/dev/null; then
+        python scripts/ba_fused_check.py
+    else
+        echo "(skipped: no accelerator backend)"
+    fi
     echo "== benchmark (small preset) =="
     BENCH_PRESET=small python bench.py
 fi

@@ -96,3 +96,40 @@ def test_track_min_length():
     assert n == 0 and (tid == -1).all()
     tid, n = tracks.build_tracks(V, N, pair_list, match_idx, match_valid, min_length=2)
     assert n == 1 and tid[0, 0] == 0 and tid[1, 2] == 0
+
+
+def test_incremental_windowed_local_ba_matches_full():
+    """The windowed local step-BA path (ba_local_from_obs forced on) must
+    reach the same quality as full-map step-BAs: local solves keep every
+    observation of the windowed points and freeze older cameras, and the
+    final BAs are always full-map (round-4 verdict item 1)."""
+    s = orbit_scene(n_cams=16, n_points=300, noise_px=0.4, seed=7, arc_deg=120.0)
+    kp, track_ids = scene_to_feature_tracks(s)
+    n_tracks = int(track_ids.max()) + 1
+    intr = np.tile(s["intr"], (len(s["R"]), 1))
+    cfg = incremental.IncrementalConfig(
+        ransac_iters=256, pnp_iters=128, ba_every=4,
+        ba_local_from_obs=1, ba_local_window=6, register_batch=2)
+    eng = incremental.IncrementalEngine(kp, intr, track_ids, n_tracks, cfg)
+    scene = eng.run(jax.random.PRNGKey(0))
+    reg = np.asarray(scene.cam_mask)
+    assert reg.sum() >= 15, f"only {reg.sum()} registered; log: {eng.log}"
+    centers = np.asarray(scene.camera_centers())[reg]
+    ate = metrics.ate_rmse(centers, s["centers"][reg])
+    assert ate < 0.02, f"ATE {ate:.4f}; log: {eng.log[-4:]}"
+
+
+def test_incremental_dirty_triangulation_covers_map():
+    """Dirty-track triangulation must reach the same structure coverage as
+    the old full-sweep version: every track with two well-separated
+    registered views ends up triangulated."""
+    s = orbit_scene(n_cams=10, n_points=200, noise_px=0.2, seed=3, arc_deg=90.0)
+    kp, track_ids = scene_to_feature_tracks(s)
+    n_tracks = int(track_ids.max()) + 1
+    intr = np.tile(s["intr"], (len(s["R"]), 1))
+    eng = incremental.IncrementalEngine(
+        kp, intr, track_ids, n_tracks,
+        incremental.IncrementalConfig(ransac_iters=256, pnp_iters=128))
+    scene = eng.run(jax.random.PRNGKey(1))
+    n_pts = int(np.asarray(scene.point_mask).sum())
+    assert n_pts >= 150, f"{n_pts} points; log: {eng.log[-4:]}"

@@ -591,18 +591,31 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
     # One multi-operand sort carries every obs column with the key (saves
     # ~40 ms of reorder gathers per solve vs argsort + 5 gathers at the
     # 1.48M-obs bench shape).  Sort cost scales with operand count, so the
-    # payload is trimmed to 3 columns: cam+group pack into one int32
-    # (cam < 2^15, group < 2^16 — the pallas path is gated far below both)
-    # and the binary obs weight is NOT carried at all — it reconstructs
-    # from the sort key (invalid rows sort to rank 2^30).
-    packed_cg = obs_cam.astype(jnp.int32) * 65536 + obs_grp.astype(jnp.int32)
-    (payloads, obs_pt, ranks, rank_to_pt, rank_valid) = \
-        ot.sort_and_rank_payload(
-            obs_pt, obs_w > 0, P,
-            (packed_cg, obs_uv[:, 0], obs_uv[:, 1]))
-    packed_s, uv0, uv1 = payloads
-    obs_cam = packed_s // 65536
-    obs_grp = packed_s - obs_cam * 65536
+    # payload is trimmed to 3 columns when cam/group fit the pack
+    # (cam*65536+grp needs C < 2^15 and G < 2^16 to stay inside int32;
+    # C and G are trace-time Python ints, so the gate is static) — larger
+    # problems carry cam and group as separate columns.  The binary obs
+    # weight is NOT carried at all — it reconstructs from the sort key
+    # (invalid rows sort to rank 2^30).  PRECONDITION: this path therefore
+    # treats obs_w as BINARY {0, 1}; fractional per-observation weights are
+    # honored only by the XLA path (_build_system).  In-repo callers only
+    # ever pass mask-derived 0/1 weights.
+    if C < 2 ** 15 and G < 2 ** 16:
+        packed_cg = obs_cam.astype(jnp.int32) * 65536 + obs_grp.astype(jnp.int32)
+        (payloads, obs_pt, ranks, rank_to_pt, rank_valid) = \
+            ot.sort_and_rank_payload(
+                obs_pt, obs_w > 0, P,
+                (packed_cg, obs_uv[:, 0], obs_uv[:, 1]))
+        packed_s, uv0, uv1 = payloads
+        obs_cam = packed_s // 65536
+        obs_grp = packed_s - obs_cam * 65536
+    else:
+        (payloads, obs_pt, ranks, rank_to_pt, rank_valid) = \
+            ot.sort_and_rank_payload(
+                obs_pt, obs_w > 0, P,
+                (obs_cam.astype(jnp.int32), obs_grp.astype(jnp.int32),
+                 obs_uv[:, 0], obs_uv[:, 1]))
+        obs_cam, obs_grp, uv0, uv1 = payloads
     obs_w = (ranks < jnp.int32(2 ** 30)).astype(jnp.float32)
     obs_uv = jnp.stack([uv0, uv1], axis=1)
     rank_scatter_ids = jnp.where(rank_valid, rank_to_pt, P)

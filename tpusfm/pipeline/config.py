@@ -32,6 +32,15 @@ class MatchingConfig:
     preemptive: bool = False
     preemptive_features: int = 200     # .cpp:819 (top 200 features)
     preemptive_min_matches: int = 4
+    # Loop-closure / revisit pairs by pooled-descriptor retrieval (the
+    # capability the reference reaches via exhaustive pairing + scalable
+    # matchers, sparseBuilder.cpp:786, 909-944): with contiguous pairing on
+    # long sequences, drift is unbounded without them.  Adds top-k revisit
+    # candidates per view outside the contiguous window; full matching +
+    # geometric filtering verify each candidate.
+    loop_closure: bool = False
+    loop_top_k: int = 3
+    loop_min_sim: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,9 +72,19 @@ def detect_features(images, cfg: PipelineConfig, progress=_noop_progress,
     )
 
 
-def generate_pairs(n_views: int, cfg: PipelineConfig) -> np.ndarray:
+def generate_pairs(n_views: int, cfg: PipelineConfig,
+                   feats: sift.Features | None = None) -> np.ndarray:
     if cfg.matching.pair_mode == "contiguous":
-        return pairs_mod.contiguous_pairs(n_views, cfg.matching.contiguous_window)
+        pairs = pairs_mod.contiguous_pairs(n_views, cfg.matching.contiguous_window)
+        if cfg.matching.loop_closure and feats is not None and n_views > 2:
+            loops = pairs_mod.retrieval_pairs(
+                feats.desc, feats.mask,
+                exclude=2 * cfg.matching.contiguous_window,
+                top_k=cfg.matching.loop_top_k,
+                min_sim=cfg.matching.loop_min_sim)
+            if len(loops):
+                pairs = np.unique(np.concatenate([pairs, loops]), axis=0)
+        return pairs
     return pairs_mod.exhaustive_pairs(n_views)
 
 
@@ -430,7 +440,7 @@ def run_sparse(images, intr, cfg: PipelineConfig = PipelineConfig(), key=None,
     progress("preprocessing", 1.0)
 
     t1 = time.time()
-    pair_list = generate_pairs(images.shape[0], cfg)
+    pair_list = generate_pairs(images.shape[0], cfg, feats=feats)
     match_idx, match_valid = match_pairs(feats, pair_list, cfg, progress, mesh=mesh)
     times["matching"] = time.time() - t1
 
@@ -465,6 +475,8 @@ def run_sparse(images, intr, cfg: PipelineConfig = PipelineConfig(), key=None,
         "n_obs": int(np.asarray(scene.obs_mask).sum()),
         "n_pairs_kept": int(pair_ok.sum()),
         "times_s": {k_: round(v, 3) for k_, v in times.items()},
+        "recon_phase_s": {k_: round(v, 3) for k_, v in
+                          sorted(getattr(engine, "timings", {}).items())},
         "engine_log": engine.log,
     }
     progress("done", 1.0, **{"n_points": report["n_points"]})

@@ -169,7 +169,7 @@ class StagedPipeline:
             d = np.load(self.ws / "matches_putative.npz")
             pair_list, mi, mv = d["pairs"], d["idx"], d["valid"]
         else:
-            pair_list = sp.generate_pairs(V, self.cfg)
+            pair_list = sp.generate_pairs(V, self.cfg, feats=feats)
             mi, mv = sp.match_pairs(feats, pair_list, self.cfg, self.progress,
                                     mesh=mesh)
             np.savez_compressed(self.ws / "matches_putative.npz",

@@ -345,6 +345,7 @@ class GlobalEngine:
             inc.aa[v] = np.asarray(lie.so3_log(jnp.asarray(Rg[k])))
             inc.t[v] = -Rg[k] @ C_np[k]
             inc.registered[v] = True
+            inc._reg_order.append(int(v))
         inc.n_registered = len(vids)
         inc.gauge_cam = vids[0]
         inc.cfg = dataclasses.replace(
@@ -360,10 +361,17 @@ class GlobalEngine:
         # triangulation admit more structure (measured 138 -> ~300 points
         # on a contiguous-window chain).
         for _ in range(3):
+            # Re-mark every installed view: the incremental engine's
+            # triangulation is dirty-gated, and each BA round here can turn
+            # previously gate-failed tracks valid.
+            for v in vids:
+                inc._mark_dirty_view(int(v))
             inc.triangulate_new()
             inc.wash_outliers()
             inc.run_ba(cfg.ba_iters)
             inc.wash_outliers()
+        for v in vids:
+            inc._mark_dirty_view(int(v))
         inc.triangulate_new()
         inc.wash_outliers()
         inc.run_ba(max(cfg.ba_iters // 3, 5))

@@ -71,6 +71,18 @@ class IncrementalConfig:
     # 3.3 s extra in reconstruction on a 6-view scene purely on sharded
     # step-BAs; with the gate the mesh path matches single-device there).
     mesh_min_obs_per_device: int = 8192
+    # Windowed local step-BA (round-4 verdict item 1 — the O(V x capacity)
+    # register cost): once the live map exceeds `ba_local_from_obs`
+    # observations, periodic step-BAs optimize only the last
+    # `ba_local_window` registered views plus the points they see (all
+    # observations of those points kept as constraints, older cameras
+    # frozen — COLMAP-style local bundle adjustment).  The subproblem is
+    # COMPACTED into fixed-bucket camera/point/obs buffers, so per-step
+    # cost is O(window), not O(map).  Below the threshold (every existing
+    # test scene) step-BAs remain full-map — behavior unchanged.  Final BAs
+    # are always full-map.
+    ba_local_from_obs: int = 65536
+    ba_local_window: int = 24
     ba: ba.BAConfig = dataclasses.field(
         default_factory=lambda: ba.BAConfig(max_iters=8, fix_first_cam=False)
     )
@@ -294,10 +306,35 @@ class IncrementalEngine:
         self._track_feat_scratch = np.full(self._T_cap, -1, np.int64)
         self.barred = np.zeros(self.V, bool)  # views that failed registration
         self.log: list[str] = []
+        # Per-phase wall-clock accumulators (seconds) — the pod rung's
+        # O(V x capacity) diagnosis (round-4 verdict item 1) needs the
+        # engine to attribute its own time.
+        self.timings: dict[str, float] = {}
         cap = 64
         while cap < max(self.T, 1):
             cap *= 2
-        self._tri_cap = cap  # fixed triangulation batch shape for the run
+        self._tri_cap = cap  # triangulation batch capacity ceiling
+
+        # Row-index structures (host, static for the run — registration only
+        # flips masks): obs rows are view-major by construction, so each
+        # view's rows are one contiguous slice; a track-sorted permutation
+        # (CSR over tracks) gives each track's rows.  These replace the
+        # per-cycle full-table np.nonzero sweeps that made the pod rung's
+        # register cost O(V x capacity) (round-4 verdict item 1).
+        self._view_start = np.searchsorted(
+            self.obs_cam[:n_real], np.arange(self.V + 1)).astype(np.int64)
+        order = np.argsort(self.obs_pt[:n_real], kind="stable").astype(np.int64)
+        self._pt_order = order
+        self._pt_start = np.searchsorted(
+            self.obs_pt[:n_real][order], np.arange(self._T_cap + 1)
+        ).astype(np.int64)
+        # Dirty-track worklist: triangulation only reconsiders tracks
+        # touched since its last call (marked at registration / wash), not
+        # every inactive track in the map.
+        self._tri_dirty = np.zeros(self._T_cap, bool)
+        self._tri_fail = np.zeros(self._T_cap, np.int8)
+        self._pt_map_scratch = np.full(self._T_cap, -1, np.int32)
+        self._reg_order: list[int] = []
 
         # Pairwise correspondence counts from shared tracks.
         self._pair_counts = self._count_shared_tracks()
@@ -305,15 +342,22 @@ class IncrementalEngine:
     # -- bookkeeping ------------------------------------------------------
 
     def _count_shared_tracks(self):
-        """(V, V) number of shared tracks between view pairs — one
-        incidence-matrix product instead of per-track Python loops."""
+        """(V, V) number of shared tracks between view pairs — one sparse
+        incidence-matrix product instead of per-track Python loops.  Sparse
+        because the dense (T, V) incidence is ~0.5 GB at the pod rung
+        (130k tracks x 1000 views); the result stays dense (V^2 ints)."""
         if not self._obs_real.any():
             return np.zeros((self.V, self.V), np.int32)
-        inc = np.zeros((max(self.T, 1), self.V), np.int32)
-        inc[self.obs_pt[self._obs_real], self.obs_cam[self._obs_real]] = 1
-        counts = inc.T @ inc
+        from scipy import sparse
+
+        r = self._obs_real
+        inc = sparse.csr_matrix(
+            (np.ones(int(r.sum()), np.int32),
+             (self.obs_pt[r], self.obs_cam[r])),
+            shape=(max(self.T, 1), self.V))
+        counts = np.asarray((inc.T @ inc).todense(), np.int32)
         np.fill_diagonal(counts, 0)
-        return counts.astype(np.int32)
+        return counts
 
     def _pair_correspondences(self, i, j):
         """Matched keypoints between views i and j via shared tracks.
@@ -347,6 +391,32 @@ class IncrementalEngine:
             & self.obs_ok
             & self.obs_inlier
         )
+
+    def _rows_of_tracks(self, tracks: np.ndarray) -> np.ndarray:
+        """Concatenated obs-row indices of the given track ids (CSR lookup;
+        O(result), independent of table capacity)."""
+        tracks = np.asarray(tracks, np.int64)
+        if len(tracks) == 0:
+            return np.zeros(0, np.int64)
+        starts = self._pt_start[tracks]
+        counts = self._pt_start[tracks + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            return np.zeros(0, np.int64)
+        base = np.repeat(starts, counts)
+        off = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        return self._pt_order[base + off]
+
+    def _view_rows(self, v: int) -> np.ndarray:
+        """Obs-row slice of view v (rows are view-major by construction)."""
+        return np.arange(self._view_start[v], self._view_start[v + 1])
+
+    def _mark_dirty_view(self, v: int):
+        """Queue view v's tracks for (re)triangulation consideration."""
+        s, e = self._view_start[v], self._view_start[v + 1]
+        tr = self.obs_pt[s:e][self.obs_ok[s:e]]
+        self._tri_dirty[tr] = True
+        self._tri_fail[tr] = 0
 
     # -- pipeline stages --------------------------------------------------
 
@@ -440,9 +510,13 @@ class IncrementalEngine:
         self.points[tr_good] = np.asarray(X)[: len(tr)][good]
         self.point_active[tr_good] = True
         # Activate the seed observations.
-        sel = np.isin(self.obs_pt, tr_good) & np.isin(self.obs_cam, [i, j])
-        self.obs_inlier |= sel
+        rows = self._rows_of_tracks(tr_good)
+        sel = rows[np.isin(self.obs_cam[rows], [i, j])]
+        self.obs_inlier[sel] = True
         self.n_registered = 2
+        self._reg_order += [i, j]
+        self._mark_dirty_view(i)
+        self._mark_dirty_view(j)
         self.log.append(f"bootstrap views ({i},{j}): {len(tr_good)} seed points")
         self.progress("reconstruction", 2.0 / self.V)
         return key
@@ -476,6 +550,9 @@ class IncrementalEngine:
         self.obs_inlier |= sel
         self.gauge_cam = int(np.nonzero(reg)[0][0])
         self.n_registered = int(reg.sum())
+        for v in np.nonzero(reg)[0]:
+            self._reg_order.append(int(v))
+            self._mark_dirty_view(int(v))
         self.log.append(
             f"seeded from existing scene: {self.n_registered} views, "
             f"{int(self.point_active.sum())} points"
@@ -516,9 +593,9 @@ class IncrementalEngine:
         threshs = np.full(B, 1e-2, np.float32)
         rows_per = []
         for bi, v in enumerate(views):
-            rows = np.nonzero(
-                (self.obs_cam == v) & self.point_active[self.obs_pt] & self.obs_ok
-            )[0]
+            vr = self._view_rows(v)
+            seg = slice(self._view_start[v], self._view_start[v + 1])
+            rows = vr[self.point_active[self.obs_pt[seg]] & self.obs_ok[seg]]
             m = min(len(rows), n)
             X[bi, :m] = self.points[self.obs_pt[rows[:m]]]
             xn[bi, :m] = _np_pixel_to_normal(self.intr[v], self.obs_uv[rows[:m]])
@@ -550,15 +627,32 @@ class IncrementalEngine:
             self.obs_inlier[rows[inl_b[bi, : len(rows)]]] = True
             self.n_registered += 1
             accepted += 1
+            self._reg_order.append(int(v))
+            self._mark_dirty_view(int(v))
             self.log.append(f"view {v}: registered with {n_inl} PnP inliers")
         return accepted, key
 
     def triangulate_new(self):
-        """Triangulate every inactive track with >= 2 registered views."""
+        """Triangulate dirty inactive tracks with >= 2 registered views.
+
+        Incremental worklist (round-4 verdict item 1): only tracks marked
+        dirty — touched by a registration or starved by washing since the
+        last call — are considered, so per-cycle cost follows the NEW work,
+        not the map size (the previous full-sweep version cost a
+        full-capacity candidate scan plus a map-sized device batch whose
+        multi-MB fetch dominated pod-rung registration).  Tracks failing
+        the reprojection/angle gates are retried up to twice, then parked
+        until a new view registration re-dirties them (registration is the
+        only event that can add parallax)."""
         cfg = self.cfg
         Vm = cfg.max_views_per_track
-        usable = self.registered[self.obs_cam] & self.obs_ok
-        cand_rows = np.nonzero(usable & ~self.point_active[self.obs_pt])[0]
+        cand_tracks = np.nonzero(self._tri_dirty & ~self.point_active)[0]
+        if len(cand_tracks) == 0:
+            return 0
+        rows_all = self._rows_of_tracks(cand_tracks)
+        usable = self.registered[self.obs_cam[rows_all]] & self.obs_ok[rows_all]
+        cand_rows = rows_all[usable]
+        self._tri_dirty[cand_tracks] = False  # re-marked below if retrying
         if len(cand_rows) == 0:
             return 0
         # Group rows by track, widest-baseline observations first: tracks
@@ -568,17 +662,24 @@ class IncrementalEngine:
         # an arbitrary first-Vm (better-conditioned triangulation).
         from scipy.spatial.transform import Rotation
 
-        R_all = Rotation.from_rotvec(self.aa).as_matrix()
-        centers = -np.einsum("vij,vi->vj", R_all, self.t)
-        c_obs = centers[self.obs_cam[cand_rows]]
+        reg_views = np.unique(self.obs_cam[cand_rows])
+        R_reg = Rotation.from_rotvec(self.aa[reg_views]).as_matrix()
+        centers_v = np.zeros((self.V, 3))
+        centers_v[reg_views] = -np.einsum("vij,vi->vj", R_reg, self.t[reg_views])
+        c_obs = centers_v[self.obs_cam[cand_rows]]
         pts0 = self.obs_pt[cand_rows]
-        n_pts = len(self.point_active)
-        cnt = np.bincount(pts0, minlength=n_pts)[:, None]
-        centroid = np.zeros((n_pts, 3))
-        np.add.at(centroid, pts0, c_obs)
+        # Compact local track indexing (host cost follows the worklist).
+        loc_of = self._pt_map_scratch
+        loc_of[cand_tracks] = np.arange(len(cand_tracks), dtype=np.int32)
+        pl = loc_of[pts0]
+        nl = len(cand_tracks)
+        cnt = np.bincount(pl, minlength=nl)[:, None]
+        centroid = np.zeros((nl, 3))
+        np.add.at(centroid, pl, c_obs)
         centroid = centroid / np.maximum(cnt, 1)
-        dist = np.linalg.norm(c_obs - centroid[pts0], axis=1)
-        order = np.lexsort((-dist, pts0))
+        dist = np.linalg.norm(c_obs - centroid[pl], axis=1)
+        order = np.lexsort((-dist, pl))
+        loc_of[cand_tracks] = -1  # restore scratch
         rows = cand_rows[order]
         pts = self.obs_pt[rows]
         uniq, starts, counts = np.unique(pts, return_index=True, return_counts=True)
@@ -587,18 +688,13 @@ class IncrementalEngine:
         if len(uniq) == 0:
             return 0
         Tb = len(uniq)
-        # Pad the track batch to a power-of-two bucket: a remote-compile
-        # backend pays a full compile for every new shape, so at most
-        # log2(T) shapes ever compile (round-1 profiling: per-call varying
-        # shapes cost seconds each on the axon tunnel).
-        # One fixed capacity for every call (total track count rounded up):
-        # a single compiled shape serves the whole run and every rerun — on
-        # the remote-compile backend each new shape costs seconds, and the
-        # kernel is bandwidth-trivial so the padding is free.
-        cap = self._tri_cap
-        if Tb > cap:  # cannot happen (Tb <= total tracks), but stay safe
-            while cap < Tb:
-                cap *= 2
+        # Bucketed batch capacity: the worklist is small (new tracks of one
+        # register batch), so pad to the next power-of-two bucket >= 1024 —
+        # a handful of compiled shapes over a run instead of one map-sized
+        # shape whose (cap, 3) result fetch crawls through the tunnel.
+        cap = 1024
+        while cap < Tb:
+            cap *= 2
         view_idx = np.zeros((cap, Vm), np.int32)
         uv = np.zeros((cap, Vm, 2), np.float32)
         vmask = np.zeros((cap, Vm), bool)
@@ -627,9 +723,15 @@ class IncrementalEngine:
         new_tracks = uniq[ok]
         self.points[new_tracks] = np.asarray(X)[ok]
         self.point_active[new_tracks] = True
-        # Activate their registered-view observations.
-        sel_obs = np.isin(self.obs_pt, new_tracks) & self.registered[self.obs_cam] & self.obs_ok
-        self.obs_inlier |= sel_obs
+        # Gate-failed tracks: bounded retries, then wait for new support.
+        failed = uniq[~ok]
+        self._tri_fail[failed] += 1
+        retry = failed[self._tri_fail[failed] <= 2]
+        self._tri_dirty[retry] = True
+        # Activate the new tracks' registered-view observations.
+        nrows = self._rows_of_tracks(new_tracks)
+        act = nrows[self.registered[self.obs_cam[nrows]] & self.obs_ok[nrows]]
+        self.obs_inlier[act] = True
         return int(ok.sum())
 
     # -- BA + washing ------------------------------------------------------
@@ -648,6 +750,103 @@ class IncrementalEngine:
             obs_uv=jnp.asarray(self.obs_uv),
             obs_mask=jnp.asarray(mask),
         )
+
+    def step_ba(self):
+        """Periodic BA during registration.  Small maps refine the full map
+        (existing behavior); past `ba_local_from_obs` table capacity the
+        step-BA becomes a WINDOWED LOCAL solve (_run_ba_local) so per-step
+        cost tracks the registration window, not the map."""
+        cfg = self.cfg
+        if (self.O > cfg.ba_local_from_obs
+                and len(self._reg_order) > cfg.ba_local_window):
+            return self._run_ba_local(cfg.step_ba_iters)
+        return self.run_ba(cfg.step_ba_iters)
+
+    def _run_ba_local(self, iters: int):
+        """Local bundle adjustment (COLMAP-style): optimize the last
+        `ba_local_window` registered views and every point they observe;
+        ALL live observations of those points participate, with cameras
+        outside the window frozen (they carry the gauge).  The subproblem
+        is compacted into bucketed camera/point/obs buffers so a handful of
+        compiled shapes serve the whole run, and per-solve host<->device
+        traffic is O(window) — at the pod rung the previous full-map step-BA
+        moved map-capacity tables through the tunnel every cycle.
+        Intrinsics are never refined locally (self-calibration needs the
+        global support; the final full BAs do it)."""
+        cfg = self.cfg
+        recent = np.asarray(sorted(set(self._reg_order[-cfg.ba_local_window:])),
+                            np.int64)
+        segs = []
+        for v in recent:
+            s, e = self._view_start[v], self._view_start[v + 1]
+            seg = self.obs_pt[s:e][
+                self.obs_ok[s:e] & self.obs_inlier[s:e]
+                & self.point_active[self.obs_pt[s:e]]]
+            segs.append(seg)
+        if not segs:
+            return None
+        pts_local = np.unique(np.concatenate(segs))
+        if len(pts_local) == 0:
+            return None
+        rows = self._rows_of_tracks(pts_local)
+        m = (self.registered[self.obs_cam[rows]] & self.obs_ok[rows]
+             & self.obs_inlier[rows])
+        rows = rows[m]
+        cams = np.unique(self.obs_cam[rows])
+        in_window = np.isin(cams, recent)
+        free = in_window.copy()
+        if free.all():
+            free[0] = False  # frozen cameras carry the gauge
+        # Compact local index maps.
+        cam_of = np.full(self.V, -1, np.int32)
+        cam_of[cams] = np.arange(len(cams), dtype=np.int32)
+        pt_of = self._pt_map_scratch
+        pt_of[pts_local] = np.arange(len(pts_local), dtype=np.int32)
+        # Bucketed capacities: generous multiples keep the compiled-shape
+        # count tiny across the run (remote compiles cost seconds each).
+        Cl = 64 * ((len(cams) + 63) // 64)
+        Pl = 4096 * ((len(pts_local) + 4095) // 4096)
+        Ol = 32768 * ((len(rows) + 32767) // 32768)
+        intr_l = np.zeros((Cl, self.intr.shape[1]), np.float32)
+        aa_l = np.zeros((Cl, 3), np.float32)
+        t_l = np.zeros((Cl, 3), np.float32)
+        cmask = np.zeros(Cl, bool)
+        cfree = np.zeros(Cl, bool)
+        intr_l[: len(cams)] = self.intr[cams]
+        aa_l[: len(cams)] = self.aa[cams]
+        t_l[: len(cams)] = self.t[cams]
+        cmask[: len(cams)] = True
+        cfree[: len(cams)] = free
+        pts_l = np.zeros((Pl, 3), np.float32)
+        pmask = np.zeros(Pl, bool)
+        pts_l[: len(pts_local)] = self.points[pts_local]
+        pmask[: len(pts_local)] = True
+        ocam = np.zeros(Ol, np.int32)
+        opt = np.zeros(Ol, np.int32)
+        ouv = np.zeros((Ol, 2), np.float32)
+        omask = np.zeros(Ol, bool)
+        ocam[: len(rows)] = cam_of[self.obs_cam[rows]]
+        opt[: len(rows)] = pt_of[self.obs_pt[rows]]
+        ouv[: len(rows)] = self.obs_uv[rows]
+        omask[: len(rows)] = True
+        pt_of[pts_local] = -1  # restore scratch
+        bcfg = dataclasses.replace(self.cfg.ba, max_iters=iters,
+                                   fix_first_cam=False,
+                                   refine_intrinsics=False)
+        _, rot, t, pts, info = jax.device_get(ba.bundle_adjust(
+            cfg=bcfg,
+            intr=jnp.asarray(intr_l), cam_rot=jnp.asarray(aa_l),
+            cam_t=jnp.asarray(t_l), cam_mask=jnp.asarray(cmask),
+            points=jnp.asarray(pts_l), point_mask=jnp.asarray(pmask),
+            obs_cam=jnp.asarray(ocam), obs_pt=jnp.asarray(opt),
+            obs_uv=jnp.asarray(ouv), obs_mask=jnp.asarray(omask),
+            cam_free_mask=jnp.asarray(cfree),
+        ))
+        upd = cams[free]
+        self.aa[upd] = rot[: len(cams)][free]
+        self.t[upd] = t[: len(cams)][free]
+        self.points[pts_local] = pts[: len(pts_local)]
+        return info
 
     def run_ba(self, iters: int):
         # Self-calibration gate: refining intrinsics off 2-3 registered
@@ -693,24 +892,29 @@ class IncrementalEngine:
             self.intr = np.array(intr)
         return info
 
-    def _np_reproj_errors(self) -> np.ndarray:
+    def _np_reproj_errors(self, rows=None) -> np.ndarray:
         """Host-side reprojection errors over the obs table (numpy — keeps
-        tiny per-step math off the remote-compile device)."""
+        tiny per-step math off the remote-compile device).  `rows` limits
+        the computation to a subset of obs rows (washing only ever needs
+        the live rows; the full-table sweep is O(capacity) per call)."""
         from scipy.spatial.transform import Rotation
 
+        ocam = self.obs_cam if rows is None else self.obs_cam[rows]
+        opt = self.obs_pt if rows is None else self.obs_pt[rows]
+        ouv = self.obs_uv if rows is None else self.obs_uv[rows]
         R = Rotation.from_rotvec(self.aa).as_matrix()  # (V, 3, 3)
         Xc = (
-            np.einsum("oij,oj->oi", R[self.obs_cam], self.points[self.obs_pt])
-            + self.t[self.obs_cam]
+            np.einsum("oij,oj->oi", R[ocam], self.points[opt])
+            + self.t[ocam]
         )
         z = Xc[:, 2:3]
         xn = Xc[:, :2] / np.where(np.abs(z) < 1e-9, 1e-9, z)
-        intr = self.intr[self.obs_cam]
+        intr = self.intr[ocam]
         k = intr[:, 4:7]
         r2 = np.sum(xn * xn, axis=-1, keepdims=True)
         scale = 1.0 + r2 * (k[:, 0:1] + r2 * (k[:, 1:2] + r2 * k[:, 2:3]))
         uv = xn * scale * intr[:, :2] + intr[:, 2:4]
-        return np.linalg.norm(uv - self.obs_uv, axis=-1)
+        return np.linalg.norm(uv - ouv, axis=-1)
 
     def recover_observations(self) -> int:
         """Re-admit washed-out observations that fit the CURRENT (refined)
@@ -733,19 +937,31 @@ class IncrementalEngine:
     def wash_outliers(self):
         """Deactivate high-residual observations and starved points
         (parity: the engine-internal outlier rejection, SURVEY.md §3.2)."""
-        errs = self._np_reproj_errors()
-        mask = self._obs_mask()
-        bad = mask & (errs > self.cfg.reproj_outlier_px)
+        rows = np.nonzero(self._obs_mask())[0]
+        errs = self._np_reproj_errors(rows)
+        bad = rows[errs > self.cfg.reproj_outlier_px]
         self.obs_ok[bad] = False
         self.obs_inlier[bad] = False
-        # Deactivate points with < 2 surviving observations.
+        # Deactivate points with < 2 surviving observations; mark them for
+        # retriangulation once new support arrives.
         alive = self._obs_mask()
         cnt = np.bincount(self.obs_pt[alive], minlength=len(self.point_active))
         starved = self.point_active & (cnt < 2)
         self.point_active[starved] = False
-        return int(bad.sum()), int(starved.sum())
+        starved_ids = np.nonzero(starved)[0]
+        self._tri_dirty[starved_ids] = True
+        self._tri_fail[starved_ids] = 0
+        return int(len(bad)), int(starved.sum())
 
     # -- main loop ---------------------------------------------------------
+
+    def _timed(self, name, fn, *a, **k):
+        import time as _time
+
+        t0 = _time.time()
+        out = fn(*a, **k)
+        self.timings[name] = self.timings.get(name, 0.0) + (_time.time() - t0)
+        return out
 
     def run(self, key=None) -> Scene:
         cfg = self.cfg
@@ -765,49 +981,51 @@ class IncrementalEngine:
                 self.log.append(f"reconstruction aborted: {e}")
                 self.progress("reconstruction", 1.0)
                 return self.to_scene()
-        self.triangulate_new()
-        self.run_ba(cfg.step_ba_iters)
-        self.wash_outliers()
+        self._timed("triangulate", self.triangulate_new)
+        self._timed("step_ba", self.step_ba)
+        self._timed("wash", self.wash_outliers)
 
         since_ba = 0
         max_steps = 3 * self.V  # hard stop: every view gets ~3 attempts
         steps = 0
         while self.n_registered < self.V and steps < max_steps:
             steps += 1
-            views = self.next_views(cfg.register_batch)
+            views = self._timed("next_views", self.next_views, cfg.register_batch)
             if not views:
                 # Out of candidates.  If some views were dropped earlier,
                 # refine the map (BA + wash) and give them another chance —
                 # the map has since grown by other registrations.
                 if self.barred.any() and self.n_registered > 2:
                     if since_ba > 0:
-                        self.run_ba(cfg.step_ba_iters)
-                        self.wash_outliers()
+                        self._timed("step_ba", self.step_ba)
+                        self._timed("wash", self.wash_outliers)
                         since_ba = 0
                     self.barred[:] = False
-                    views = self.next_views(cfg.register_batch)
+                    views = self._timed("next_views", self.next_views,
+                                        cfg.register_batch)
                 if not views:
                     break
             # Batched resection: views failing the inlier gate are barred
             # inside register_views (frame-drop parity,
             # SequentialActuator.h:193-196) and retried after the map grows.
-            accepted, key = self.register_views(views, key)
+            accepted, key = self._timed("register", self.register_views,
+                                        views, key)
             if accepted == 0:
                 continue
-            self.triangulate_new()
+            self._timed("triangulate", self.triangulate_new)
             since_ba += accepted
             if since_ba >= cfg.ba_every:
-                self.run_ba(cfg.step_ba_iters)
-                self.wash_outliers()
+                self._timed("step_ba", self.step_ba)
+                self._timed("wash", self.wash_outliers)
                 since_ba = 0
             self.progress("reconstruction", self.n_registered / self.V)
             # Give previously dropped views another chance once the map grew.
             if self.barred.any() and since_ba == 0:
                 self.barred[:] = False
 
-        info = self.run_ba(cfg.final_ba_iters)
-        self.wash_outliers()
-        self.run_ba(cfg.step_ba_iters)
+        info = self._timed("final_ba", self.run_ba, cfg.final_ba_iters)
+        self._timed("wash", self.wash_outliers)
+        self._timed("final_ba", self.run_ba, cfg.step_ba_iters)
         if self.cfg.ba.refine_intrinsics:
             # Observation-recovery pass (COLMAP-style iterative refinement):
             # pre-calibration residuals at the image periphery exceed the
@@ -827,6 +1045,8 @@ class IncrementalEngine:
             f"final: {self.n_registered}/{self.V} views, "
             f"{int(self.point_active.sum())} points, cost {float(info['final_cost']):.1f}"
         )
+        self.log.append("phase seconds: " + ", ".join(
+            f"{k}={v:.2f}" for k, v in sorted(self.timings.items())))
         self.progress("reconstruction", 1.0)
         return self.to_scene()
 

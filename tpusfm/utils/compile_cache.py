@@ -57,7 +57,18 @@ def enable(cache_dir: str | None = None) -> str | None:
 
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # Cache EVERYTHING: the default 1 s floor leaves the long tail of
+        # small op-by-op programs (broadcast/concatenate/convert from
+        # np<->jnp glue) uncached, and the medium rung re-compiled ~20 s of
+        # them per fresh process (BENCH_r04 warm_compile_top: 24 broadcasts
+        # = 8.1 s, 17 concatenates = 4.4 s, ...).  Remote compiles cost
+        # ~0.3 s each even for trivial programs, so a 0-floor is strictly
+        # better on this backend.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        try:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        except Exception:  # flag absent on older jax
+            pass
         _enabled = True
         return d
     except Exception:  # pragma: no cover - best effort on older jax
