@@ -92,3 +92,59 @@ def test_pallas_path_respects_frozen_cameras():
     np.testing.assert_allclose(np.asarray(tp)[3], np.asarray(args["cam_t"])[3])
     # Gauge: camera 0 frozen too.
     np.testing.assert_allclose(np.asarray(rp)[0], np.asarray(args["cam_rot"])[0])
+
+
+def _sort_relabel(args):
+    """Host-side point-sort + dense relabel satisfying the assume_sorted
+    contract (BAConfig.assume_sorted): rows ordered by point id, observed
+    ids renumbered 0..K-1, unobserved points moved to the tail."""
+    obs_pt = np.asarray(args["obs_pt"])
+    obs_cam = np.asarray(args["obs_cam"])
+    obs_uv = np.asarray(args["obs_uv"])
+    obs_mask = np.asarray(args["obs_mask"])
+    points = np.asarray(args["points"])
+    pmask = np.asarray(args["point_mask"])
+    P = len(points)
+    observed = np.zeros(P, bool)
+    observed[obs_pt] = True
+    new_of = np.full(P, -1, np.int64)
+    obs_ids = np.nonzero(observed)[0]
+    new_of[obs_ids] = np.arange(len(obs_ids))
+    rest = np.nonzero(~observed)[0]
+    new_of[rest] = len(obs_ids) + np.arange(len(rest))
+    perm = np.argsort(new_of)  # new index -> old index
+    order = np.argsort(new_of[obs_pt], kind="stable")
+    out = dict(args)
+    out["points"] = jnp.asarray(points[perm])
+    out["point_mask"] = jnp.asarray(pmask[perm])
+    out["obs_pt"] = jnp.asarray(new_of[obs_pt][order].astype(np.int32))
+    out["obs_cam"] = jnp.asarray(obs_cam[order])
+    out["obs_uv"] = jnp.asarray(obs_uv[order])
+    out["obs_mask"] = jnp.asarray(obs_mask[order])
+    return out, perm
+
+
+def test_pallas_assume_sorted_matches_unsorted():
+    """assume_sorted skips the in-solve sort; on a host-presorted problem it
+    must match the sorting pallas path (identical algorithm thereafter)."""
+    args = _problem(C=10, P=250, seed=5)
+    # Mask some observations so weight-0 rows interleave (the contract keeps
+    # them in place with their point id).
+    O = args["obs_cam"].shape[0]
+    rng = np.random.default_rng(2)
+    args["obs_mask"] = jnp.asarray(rng.random(O) > 0.2)
+    sorted_args, perm = _sort_relabel(args)
+    cfg_ref = ba.BAConfig(max_iters=6, cg_iters=30, impl="pallas",
+                          pallas_interpret=True)
+    cfg_fast = ba.BAConfig(max_iters=6, cg_iters=30, impl="pallas",
+                           pallas_interpret=True, assume_sorted=True)
+    i0, r0, t0, p0, inf0 = ba.bundle_adjust(cfg=cfg_ref, **args)
+    i1, r1, t1, p1, inf1 = ba.bundle_adjust(cfg=cfg_fast, **sorted_args)
+    f0 = float(inf0["final_cost"])
+    f1 = float(inf1["final_cost"])
+    assert f1 < float(inf1["initial_cost"]) * 0.9
+    assert abs(f0 - f1) < 0.02 * max(f0, 1.0), (f0, f1)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), atol=5e-3)
+    # Points come back in the relabeled order.
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0)[perm], atol=2e-2)

@@ -170,6 +170,12 @@ def match_pairs(feats: sift.Features, pair_list: np.ndarray, cfg: PipelineConfig
         # device tunnel) with bigger batches: 19900 pairs at chunk 32 spend
         # ~17s on dispatch alone.
         ch = min(8 * ch, 256)
+    elif P <= 256:
+        # Small collections: ONE dispatch for the whole pair list (the
+        # 20-view bench's 190 pairs cost 6 x ~25 ms of pure dispatch floor
+        # at chunk 32 — round-4 verdict item 8).  Bucket to 32 so reruns
+        # with slightly different pair counts reuse the compiled shape.
+        ch = max(ch, 32 * ((P + 31) // 32))
     n_dev = 1
     if mesh is not None:
         from ..parallel import dist_matching
@@ -320,6 +326,11 @@ def filter_pairs(feats: sift.Features, pair_list, match_idx, match_valid,
     ch = cfg.matching.pair_chunk
     if P >= 16 * ch:
         ch = min(8 * ch, 256)  # amortize dispatch latency (see match_pairs)
+    elif P <= 128:
+        # One-or-two-dispatch filtering for small collections (the RANSAC
+        # chunk is compute-heavier than matching, so the fold-up stops at
+        # 128 pairs per dispatch).
+        ch = max(ch, 32 * ((min(P, 128) + 31) // 32))
     kp = feats.kp
     out_valid = np.zeros_like(match_valid)
     pair_ok = np.zeros(P, bool)
