@@ -92,7 +92,10 @@ def test_patchmatch_recovers_slanted_normals(setup):
     """The recovered normals on the oblique walls must tilt away from
     fronto-parallel toward the true plane normals."""
     d_sweep, _ = _sweep(setup)
-    cfg = pm.PatchMatchConfig(n_iters=3)
+    # Default config (presel + alternating-neighbor propagation, 4 iters):
+    # round-5 A/B at this scene — old 4-neighbor/no-presel path 14.6 deg
+    # at 3 iters vs this path 14.4 deg at ~79% of the sampling cost.
+    cfg = pm.PatchMatchConfig()
     d_pm, c_pm, n_pm = jax.device_get(pm.patchmatch_refine(
         jnp.asarray(setup["images"][setup["v"]]),
         jnp.asarray(setup["images"][setup["srcs"]]),

@@ -38,12 +38,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 256   # window granularity: sorted ids in any B-row span cover < B
+import os as _os_b
+
+B = int(_os_b.environ.get("TPUSFM_B", 256))
+          # window granularity: sorted ids in any B-row span cover < B
           # distinct values (rank-compaction invariant).  Round 4:
           # 512 -> 256 halves the windowed kernels' dominant VPU cost —
           # the (B, 2B) iota-compare one-hot builds total BL*2B ops per
           # grid step, LINEAR in B — while the (3, B)x(B, 2B) window
-          # matmuls stay MXU-trivial.
+          # matmuls stay MXU-trivial.  Env-overridable for in-situ A/B.
 KSUB = 8  # sub-blocks processed per grid step (grid-step overhead, ~2.5us
           # each, dominates at small blocks; 8 x 256 keeps the same
           # 2048-row span per step as the old 4 x 512)
@@ -1081,8 +1084,12 @@ def schur_bwd(w_flat: jnp.ndarray, obs_cam: jnp.ndarray,
 # Obs blocks are BL = 8192 lanes per grid step (16x fewer steps than the
 # sublane kernels' 512-row blocks).
 
-BL_T = 8192           # observations per grid step (lanes)
-NSUB_T = BL_T // B    # 512-lane windows per step (rank-window granularity)
+# Env-overridable for in-situ A/B (scripts/ba_kernel_ab.py): the window
+# one-hot build cost scales with B, per-grid-step overhead with 1/BL_T.
+import os as _os
+
+BL_T = int(_os.environ.get("TPUSFM_BL_T", 8192))  # observations per grid step
+NSUB_T = BL_T // B    # windows per step (rank-window granularity)
 
 
 def _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg, intg,

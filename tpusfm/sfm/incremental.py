@@ -335,6 +335,8 @@ class IncrementalEngine:
         self._tri_fail = np.zeros(self._T_cap, np.int8)
         self._pt_map_scratch = np.full(self._T_cap, -1, np.int32)
         self._reg_order: list[int] = []
+        # Local-BA sticky bucket sizes (cams, points, obs) — see _run_ba_local.
+        self._local_buckets = [64, 4096, 32768]
 
         # Pairwise correspondence counts from shared tracks.
         self._pair_counts = self._count_shared_tracks()
@@ -802,11 +804,16 @@ class IncrementalEngine:
         cam_of[cams] = np.arange(len(cams), dtype=np.int32)
         pt_of = self._pt_map_scratch
         pt_of[pts_local] = np.arange(len(pts_local), dtype=np.int32)
-        # Bucketed capacities: generous multiples keep the compiled-shape
-        # count tiny across the run (remote compiles cost seconds each).
-        Cl = 64 * ((len(cams) + 63) // 64)
-        Pl = 4096 * ((len(pts_local) + 4095) // 4096)
-        Ol = 32768 * ((len(rows) + 32767) // 32768)
+        # Bucketed capacities, STICKY-GROWN: each dimension only ever grows
+        # (to the next multiple), so the number of compiled local-BA shapes
+        # over a run is the number of growth events (~2-4), not the product
+        # of independently-varying buckets — the pod rung's warm run spent
+        # minutes compiling near-duplicate local solves before this.
+        b = self._local_buckets
+        b[0] = max(b[0], 64 * ((len(cams) + 63) // 64))
+        b[1] = max(b[1], 4096 * ((len(pts_local) + 4095) // 4096))
+        b[2] = max(b[2], 32768 * ((len(rows) + 32767) // 32768))
+        Cl, Pl, Ol = b
         intr_l = np.zeros((Cl, self.intr.shape[1]), np.float32)
         aa_l = np.zeros((Cl, 3), np.float32)
         t_l = np.zeros((Cl, 3), np.float32)
@@ -822,7 +829,8 @@ class IncrementalEngine:
         pts_l[: len(pts_local)] = self.points[pts_local]
         pmask[: len(pts_local)] = True
         ocam = np.zeros(Ol, np.int32)
-        opt = np.zeros(Ol, np.int32)
+        # Padding keeps obs_pt non-decreasing (assume_sorted contract).
+        opt = np.full(Ol, max(len(pts_local) - 1, 0), np.int32)
         ouv = np.zeros((Ol, 2), np.float32)
         omask = np.zeros(Ol, bool)
         ocam[: len(rows)] = cam_of[self.obs_cam[rows]]
@@ -830,9 +838,13 @@ class IncrementalEngine:
         ouv[: len(rows)] = self.obs_uv[rows]
         omask[: len(rows)] = True
         pt_of[pts_local] = -1  # restore scratch
+        # The CSR row gathering produces a point-sorted, densely-relabeled
+        # table by construction, so the solver can skip its per-solve sort
+        # (BAConfig.assume_sorted contract).
         bcfg = dataclasses.replace(self.cfg.ba, max_iters=iters,
                                    fix_first_cam=False,
-                                   refine_intrinsics=False)
+                                   refine_intrinsics=False,
+                                   assume_sorted=True)
         _, rot, t, pts, info = jax.device_get(ba.bundle_adjust(
             cfg=bcfg,
             intr=jnp.asarray(intr_l), cam_rot=jnp.asarray(aa_l),
