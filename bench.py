@@ -200,7 +200,10 @@ def _ba_500_iters_per_s(small: bool) -> float:
         obs_pt=jnp.asarray(new_of[obs_pt][order].astype(np.int32)),
         obs_uv=jnp.asarray(s["obs_uv"][order]), obs_mask=jnp.ones(O, bool),
     )
-    cfg = ba.BAConfig(max_iters=10, cg_iters=30, assume_sorted=True)
+    # 20 LM iterations: the problem is not converged at 10, and a longer
+    # run amortizes the per-call dispatch floor (~25 ms through the
+    # tunnel) + per-solve prep the way a steady Ceres run would.
+    cfg = ba.BAConfig(max_iters=20, cg_iters=30, assume_sorted=True)
     out = ba.bundle_adjust(cfg=cfg, **args)
     # IMPORTANT: force with a VALUE FETCH, not block_until_ready — on the
     # tunneled axon backend block_until_ready returns before device

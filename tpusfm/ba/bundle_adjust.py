@@ -894,11 +894,12 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
             vc = v["c"] * upd_c
             if ax is None and not refine:
                 # Fused round trip: one kernel does fwd + window-resident
-                # Hpp^-1 apply + bwd (ops/obs_table.py schur_mv_t).
-                bc, y_r = ot.schur_mv_t(Wc_flat, obs_cam, ranks, vc,
-                                        Hinv_rank, P, interpret=itp)
-                Hvc = jnp.einsum("cij,cj->ci", Hcc_d, vc)
-                return {"c": (Hvc - bc) * upd_c}, y_r
+                # Hpp^-1 apply + bwd + the final Hcc_d v - bc combine
+                # (ops/obs_table.py schur_mv_t with hcc_d).
+                sv, y_r = ot.schur_mv_t(Wc_flat, obs_cam, ranks, vc,
+                                        Hinv_rank, P, hcc_d=Hcc_d,
+                                        interpret=itp)
+                return {"c": sv * upd_c}, y_r
             y_r = ot.schur_fwd_t(Wc_flat, obs_cam, ranks, vc, P, interpret=itp)
             if refine:
                 vg = v["g"] * upd_g

@@ -1091,6 +1091,40 @@ import os as _os
 BL_T = int(_os.environ.get("TPUSFM_BL_T", 8192))  # observations per grid step
 NSUB_T = BL_T // B    # windows per step (rank-window granularity)
 
+# Span-chunked window one-hots (round 5).  Ranks are DENSE (every rank in
+# [0, p) holds >= 1 observation) and sorted, so within any 128-lane chunk
+# the rank span is <= 127 and a 256-wide ALIGNED slice of the point window
+# covers every index in the chunk.  The per-sub-block (2B, B) iota-compare
+# one-hot therefore shrinks to a (256, 128) one per vreg-width chunk — 4x
+# fewer VPU compare/convert elements — and every window gather/scatter
+# matmul narrows to a 256-deep contraction.  Measured at the 1.48M-obs BA
+# bench shape (scripts/take_gather_ab.py, 16-iter in-situ loops): scatter
+# 4.45 -> 2.31 ms/pass, gather 1.88 -> 1.62.  (A take_along_axis gather —
+# Mosaic lowers it along lanes, but only at exactly 128-lane table width —
+# measured SLOWER than the one-hot matmul: 1.85-3.2 ms.)  Pad lanes carry
+# a far-away rank, match no row of the 256-window, and so contribute /
+# gather exact zeros, same as the legacy (2B, B) form.
+SPAN_W = 256
+_SPAN = _os.environ.get("TPUSFM_SPAN_OH", "1") == "1"
+
+
+def _span_chunks(loc):
+    """Per-128-lane-chunk (c, j0, onehot) for dense sorted loc (1, nB).
+
+    j0 is the 128-aligned window chunk index such that every in-range
+    index of the chunk lies in [j0*128, j0*128 + SPAN_W); onehot is the
+    (SPAN_W, 128) bf16 selection matrix (all-zero columns for lanes whose
+    index falls outside the span, e.g. padding)."""
+    out = []
+    for c in range(loc.shape[1] // 128):
+        idx_c = loc[:, c * 128:(c + 1) * 128]
+        j0 = jnp.minimum(jnp.min(idx_c) >> 7, (2 * B - SPAN_W) // 128)
+        j0 = jnp.maximum(j0, 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (SPAN_W, 128), 0)
+        onehot = (rows == (idx_c - j0 * 128)).astype(jnp.bfloat16)
+        out.append((c, j0, onehot))
+    return out
+
 
 def _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg, intg,
                       uv, w_in, packed=False):
@@ -1246,16 +1280,22 @@ def _linearize_t_kernel(refine, huber_delta, refine_mask, eps,
     onehot_g = (rowsG == grp).astype(jnp.bfloat16)
     intg = _oh_dot_t(grptabT_ref[:], onehot_g)      # (7, BL)
 
-    # Point gather: per 512-lane window, X = ptsT_win (3, 2B) @ onehot.
+    # Point gather: per window, X = ptsT span/window slice @ onehot.
     rk = ranks_ref[:]  # (1, BL)
     xs = []
     for k in range(NSUB_T):
         base = wstart_ref[s * NSUB_T + k] * B
-        win = ptsT_ref[:, pl.ds(base, 2 * B)]       # (3, 2B)
-        rk_k = rk[:, k * B:(k + 1) * B]             # (1, B)
-        rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
-        onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
-        xs.append(_oh_dot_t(win, onehot))           # (3, B)
+        if _SPAN:
+            loc = rk[:, k * B:(k + 1) * B] - base
+            for c, j0, onehot in _span_chunks(loc):
+                win = ptsT_ref[:, pl.ds(base + j0 * 128, SPAN_W)]
+                xs.append(_oh_dot_t(win, onehot))   # (3, 128)
+        else:
+            win = ptsT_ref[:, pl.ds(base, 2 * B)]   # (3, 2B)
+            rk_k = rk[:, k * B:(k + 1) * B]         # (1, B)
+            rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+            onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+            xs.append(_oh_dot_t(win, onehot))       # (3, B)
     X = jnp.concatenate(xs, axis=1)                 # (3, BL)
 
     outs = _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg,
@@ -1432,15 +1472,22 @@ def _linearize_reduce_t_kernel(refine, huber_delta, refine_mask, eps,
 
     rk = ranks_ref[:]  # (1, BL)
     xs = []
-    ohs = []
+    ohs = []   # (k, c, base, j0, onehot) in span mode; (k, base, onehot) else
     for k in range(NSUB_T):
         base = wstart_ref[s * NSUB_T + k] * B
-        win = ptsT_ref[:, pl.ds(base, 2 * B)]       # (3, 2B)
-        rk_k = rk[:, k * B:(k + 1) * B]             # (1, B)
-        rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
-        onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
-        ohs.append(onehot)
-        xs.append(_oh_dot_t(win, onehot))           # (3, B)
+        if _SPAN:
+            loc = rk[:, k * B:(k + 1) * B] - base
+            for c, j0, onehot in _span_chunks(loc):
+                win = ptsT_ref[:, pl.ds(base + j0 * 128, SPAN_W)]
+                ohs.append((k, c, base, j0, onehot))
+                xs.append(_oh_dot_t(win, onehot))   # (3, 128)
+        else:
+            win = ptsT_ref[:, pl.ds(base, 2 * B)]   # (3, 2B)
+            rk_k = rk[:, k * B:(k + 1) * B]         # (1, B)
+            rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+            onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+            ohs.append((k, None, base, None, onehot))
+            xs.append(_oh_dot_t(win, onehot))       # (3, B)
     X = jnp.concatenate(xs, axis=1)                 # (3, BL)
 
     outs = _linearize_math_t(refine, huber_delta, refine_mask, eps, X, camg,
@@ -1466,10 +1513,16 @@ def _linearize_reduce_t_kernel(refine, huber_delta, refine_mask, eps,
     if refine:
         grpred_ref[:] += _reduce_tt(grpvals, onehot_g, Gp)
 
-    for k in range(NSUB_T):
-        base = wstart_ref[s * NSUB_T + k] * B
-        pt_k = ptvals[:, k * B:(k + 1) * B]          # (9, B)
-        ptred_ref[:, pl.ds(base, 2 * B)] += _reduce_tt(pt_k, ohs[k], 2 * B)
+    if _SPAN:
+        for k, c, base, j0, onehot in ohs:
+            pt_k = ptvals[:, k * B + c * 128:k * B + (c + 1) * 128]
+            ptred_ref[:, pl.ds(base + j0 * 128, SPAN_W)] += _reduce_tt(
+                pt_k, onehot, SPAN_W)
+    else:
+        for k, _c, base, _j0, onehot in ohs:
+            pt_k = ptvals[:, k * B:(k + 1) * B]      # (9, B)
+            ptred_ref[:, pl.ds(base, 2 * B)] += _reduce_tt(pt_k, onehot,
+                                                           2 * B)
 
 
 @partial(jax.jit, static_argnames=("refine", "refine_mask", "huber_delta",
@@ -1673,11 +1726,18 @@ def _segsum_sorted_t_kernel(wstart_ref, ranks_ref, vals_ref, out_ref):
 
     for kk in range(NSUB_T):
         base = wstart_ref[s * NSUB_T + kk] * B
-        rk = ranks_ref[pl.ds(kk * B, B), :]          # (B, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * B), 1)
-        onehot = (cols == (rk - base)).astype(jnp.bfloat16)
-        vals_k = vals_ref[:, pl.ds(kk * B, B)]       # (k, B)
-        out_ref[:, pl.ds(base, 2 * B)] += _oh_dot_t(vals_k, onehot)
+        if _SPAN:
+            loc = ranks_ref[:, kk * B:(kk + 1) * B] - base   # row ranks
+            for c, j0, onehot in _span_chunks(loc):
+                vals_k = vals_ref[:, pl.ds(kk * B + c * 128, 128)]
+                out_ref[:, pl.ds(base + j0 * 128, SPAN_W)] += _oh_dot_tt(
+                    vals_k, onehot)
+        else:
+            rk = ranks_ref[pl.ds(kk * B, B), :]      # (B, 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * B), 1)
+            onehot = (cols == (rk - base)).astype(jnp.bfloat16)
+            vals_k = vals_ref[:, pl.ds(kk * B, B)]   # (k, B)
+            out_ref[:, pl.ds(base, 2 * B)] += _oh_dot_t(vals_k, onehot)
 
 
 @partial(jax.jit, static_argnames=("p", "interpret"))
@@ -1690,18 +1750,29 @@ def segsum_sorted_t(valsT: jnp.ndarray, idx_sorted: jnp.ndarray, p: int,
     k, o = valsT.shape
     o_p = _ceil_to(max(o, 1), BL_T)
     p_tab = _ceil_to(max(p, 1), B) + B
-    idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
-                      value=p_tab - B)
+    if _SPAN:
+        idx_p = jnp.pad(idx_sorted.astype(jnp.int32).reshape(1, -1),
+                        ((0, 0), (0, o_p - o)), constant_values=p_tab - B) \
+            if o_p > o else idx_sorted.astype(jnp.int32).reshape(1, -1)
+        idx_spec = pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                                memory_space=pltpu.VMEM)
+        wstart = jnp.minimum(idx_p[0, ::B] // B,
+                             p_tab // B - 2).astype(jnp.int32)
+    else:
+        idx_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
+                          value=p_tab - B)
+        idx_spec = pl.BlockSpec((BL_T, 1), lambda s, ws: (s, 0),
+                                memory_space=pltpu.VMEM)
+        wstart = jnp.minimum(idx_p[::B, 0] // B,
+                             p_tab // B - 2).astype(jnp.int32)
     vals_p = jnp.pad(valsT, ((0, 0), (0, o_p - o))) if o_p > o else valsT
-    wstart = jnp.minimum(idx_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
     out = pl.pallas_call(
         _segsum_sorted_t_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(o_p // BL_T,),
             in_specs=[
-                pl.BlockSpec((BL_T, 1), lambda s, ws: (s, 0),
-                             memory_space=pltpu.VMEM),
+                idx_spec,
                 pl.BlockSpec((k, BL_T), lambda s, ws: (0, s),
                              memory_space=pltpu.VMEM),
             ],
@@ -1739,11 +1810,18 @@ def _schur_fwd_t_kernel(wstart_ref, ranks_ref, cam_ref, w_ref, vtabT_ref,
 
     for kk in range(NSUB_T):  # static unroll: wv slices must be static
         base = wstart_ref[s * NSUB_T + kk] * B
-        rk = ranks_ref[pl.ds(kk * B, B), :]          # (B, 1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * B), 1)
-        onehot = (cols == (rk - base)).astype(jnp.bfloat16)
-        wv_k = wv[:, kk * B:(kk + 1) * B]
-        out_ref[:, pl.ds(base, 2 * B)] += _oh_dot_t(wv_k, onehot)
+        if _SPAN:
+            loc = ranks_ref[:, kk * B:(kk + 1) * B] - base   # row ranks
+            for c, j0, onehot in _span_chunks(loc):
+                wv_k = wv[:, kk * B + c * 128:kk * B + (c + 1) * 128]
+                out_ref[:, pl.ds(base + j0 * 128, SPAN_W)] += _oh_dot_tt(
+                    wv_k, onehot)
+        else:
+            rk = ranks_ref[pl.ds(kk * B, B), :]      # (B, 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * B), 1)
+            onehot = (cols == (rk - base)).astype(jnp.bfloat16)
+            wv_k = wv[:, kk * B:(kk + 1) * B]
+            out_ref[:, pl.ds(base, 2 * B)] += _oh_dot_t(wv_k, onehot)
 
 
 @partial(jax.jit, static_argnames=("p", "interpret"))
@@ -1757,22 +1835,34 @@ def schur_fwd_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
     o_p = _ceil_to(max(o, 1), BL_T)
     p_tab = _ceil_to(max(p, 1), B) + B
     c_p = _ceil_to(max(c, 1), 8)
-    ranks_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
-                        value=p_tab - B)
+    if _SPAN:
+        ranks_p = jnp.pad(idx_sorted.astype(jnp.int32).reshape(1, -1),
+                          ((0, 0), (0, o_p - o)),
+                          constant_values=p_tab - B) \
+            if o_p > o else idx_sorted.astype(jnp.int32).reshape(1, -1)
+        rank_spec = pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                                 memory_space=pltpu.VMEM)
+        wstart = jnp.minimum(ranks_p[0, ::B] // B,
+                             p_tab // B - 2).astype(jnp.int32)
+    else:
+        ranks_p = _pad_rows(idx_sorted.astype(jnp.int32).reshape(-1, 1), o_p,
+                            value=p_tab - B)
+        rank_spec = pl.BlockSpec((BL_T, 1), lambda s, ws: (s, 0),
+                                 memory_space=pltpu.VMEM)
+        wstart = jnp.minimum(ranks_p[::B, 0] // B,
+                             p_tab // B - 2).astype(jnp.int32)
     cam_p = jnp.pad(obs_cam.astype(jnp.int32).reshape(1, -1),
                     ((0, 0), (0, o_p - o)), constant_values=c_p) \
         if o_p > o else obs_cam.astype(jnp.int32).reshape(1, -1)
     w_p = jnp.pad(wT, ((0, 0), (0, o_p - o))) if o_p > o else wT
     vtabT = _pad_rows(vtab.astype(jnp.float32), c_p).T  # (D, c_p)
-    wstart = jnp.minimum(ranks_p[::B, 0] // B, p_tab // B - 2).astype(jnp.int32)
     out = pl.pallas_call(
         _schur_fwd_t_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(o_p // BL_T,),
             in_specs=[
-                pl.BlockSpec((BL_T, 1), lambda s, ws: (s, 0),
-                             memory_space=pltpu.VMEM),
+                rank_spec,
                 pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((dd3, BL_T), lambda s, ws: (0, s),
@@ -1806,24 +1896,45 @@ def _schur_bwd_t_kernel(wstart_ref, ranks_ref, cam_ref, w_ref, ztabT_ref,
     zgs = []
     for kk in range(NSUB_T):
         base = wstart_ref[s * NSUB_T + kk] * B
-        win = ztabT_ref[:, pl.ds(base, 2 * B)]       # (3, 2B)
-        rk_k = rk[:, kk * B:(kk + 1) * B]            # (1, B)
-        rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
-        onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
-        zgs.append(_oh_dot_t(win, onehot))           # (3, B)
+        if _SPAN:
+            loc = rk[:, kk * B:(kk + 1) * B] - base
+            for c, j0, onehot in _span_chunks(loc):
+                win = ztabT_ref[:, pl.ds(base + j0 * 128, SPAN_W)]
+                zgs.append(_oh_dot_t(win, onehot))   # (3, 128)
+        else:
+            win = ztabT_ref[:, pl.ds(base, 2 * B)]   # (3, 2B)
+            rk_k = rk[:, kk * B:(kk + 1) * B]        # (1, B)
+            rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+            onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+            zgs.append(_oh_dot_t(win, onehot))       # (3, B)
     zg = jnp.concatenate(zgs, axis=1)                # (3, BL)
 
-    w = w_ref[:].astype(jnp.float32)                 # (18, BL)
+    w = w_ref[:].astype(jnp.float32)                 # (3D, BL)
+    d_out = w.shape[0] // 3
     bk = jnp.concatenate([
         sum(w[d * 3 + kk:d * 3 + kk + 1, :] * zg[kk:kk + 1, :]
             for kk in range(3))
-        for d in range(6)
-    ], axis=0)                                       # (6, BL)
+        for d in range(d_out)
+    ], axis=0)                                       # (D, BL)
 
-    cam = cam_ref[:]  # (BL, 1) column
-    cols = jax.lax.broadcasted_iota(jnp.int32, (cam.shape[0], n), 1)
-    onehot_c = (cols == cam).astype(jnp.bfloat16)
-    out_ref[:] += _oh_dot_t(bk, onehot_c)
+    if _SPAN:
+        # Lane-contracting reduce (the schur_mv_t bwd-phase form): row cam
+        # one-hot + dot_general contracting the lane dim of BOTH operands —
+        # measured 4.22 -> see PERF round 5 vs the sublane-oriented
+        # (BL, n) build + deep matmul it replaces.
+        cam = cam_ref[:]                             # (1, BL) row
+        rowsC = jax.lax.broadcasted_iota(jnp.int32, (n, BL_T), 0)
+        onehot_c = (rowsC == cam).astype(jnp.bfloat16)
+        b3 = jnp.concatenate(_split3(bk), axis=0)    # (3D, BL)
+        acc = jax.lax.dot_general(b3, onehot_c, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        out_ref[:] += (acc[:d_out] + acc[d_out:2 * d_out]
+                       + acc[2 * d_out:])
+    else:
+        cam = cam_ref[:]  # (BL, 1) column
+        cols = jax.lax.broadcasted_iota(jnp.int32, (cam.shape[0], n), 1)
+        onehot_c = (cols == cam).astype(jnp.bfloat16)
+        out_ref[:] += _oh_dot_t(bk, onehot_c)
 
 
 @partial(jax.jit, static_argnames=("n", "interpret"))
@@ -1842,8 +1953,17 @@ def schur_bwd_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
     ranks_l = jnp.pad(idx_sorted.astype(jnp.int32).reshape(1, -1),
                       ((0, 0), (0, o_p - o)), constant_values=p_tab - B) \
         if o_p > o else idx_sorted.astype(jnp.int32).reshape(1, -1)
-    cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p,
-                      value=n_p)
+    if _SPAN:
+        cam_p = jnp.pad(obs_cam.astype(jnp.int32).reshape(1, -1),
+                        ((0, 0), (0, o_p - o)), constant_values=n_p) \
+            if o_p > o else obs_cam.astype(jnp.int32).reshape(1, -1)
+        cam_spec = pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
+                                memory_space=pltpu.VMEM)
+    else:
+        cam_p = _pad_rows(obs_cam.astype(jnp.int32).reshape(-1, 1), o_p,
+                          value=n_p)
+        cam_spec = pl.BlockSpec((BL_T, 1), lambda s, ws: (s, 0),
+                                memory_space=pltpu.VMEM)
     w_p = jnp.pad(wT, ((0, 0), (0, o_p - o))) if o_p > o else wT
     ztabT = _pad_rows(ztab.astype(jnp.float32), p_tab).T  # (3, p_tab)
     wstart = jnp.minimum(ranks_l[0, ::B] // B, p_tab // B - 2).astype(jnp.int32)
@@ -1855,8 +1975,7 @@ def schur_bwd_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((1, BL_T), lambda s, ws: (0, s),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((BL_T, 1), lambda s, ws: (s, 0),
-                             memory_space=pltpu.VMEM),
+                cam_spec,
                 pl.BlockSpec((dd3, BL_T), lambda s, ws: (0, s),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((3, p_tab), lambda s, ws: (0, 0),
@@ -1887,8 +2006,8 @@ def _oh_dot_tt(vals: jnp.ndarray, onehot: jnp.ndarray):
     return d(hi) + d(mid) + d(lo)
 
 
-def _schur_mv_t_kernel(wstart_ref, ranks_ref, cam_ref, w_ref, vtabT_ref,
-                       hinvT_ref, y_ref, bc_ref):
+def _schur_mv_t_kernel(combine, wstart_ref, ranks_ref, cam_ref, w_ref,
+                       vtabT_ref, hinvT_ref, hccT_ref, y_ref, bc_ref, z_ref):
     """Fused Schur matvec round trip: grid (2, nblocks).  Phase 0 accumulates
     y = W^T v into the resident (3, p_tab) output; phase 1 applies the
     window-resident Hpp^-1 on the fly and reduces b_c = W (Hpp^-1 y) into the
@@ -1920,28 +2039,54 @@ def _schur_mv_t_kernel(wstart_ref, ranks_ref, cam_ref, w_ref, vtabT_ref,
         ], axis=0)                                   # (3, BL)
         for kk in range(NSUB_T):
             base = wstart_ref[s * NSUB_T + kk] * B
-            rk_k = rk[:, kk * B:(kk + 1) * B]
-            rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
-            onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
-            y_ref[:, pl.ds(base, 2 * B)] += _oh_dot_tt(
-                wv[:, kk * B:(kk + 1) * B], onehot)
+            if _SPAN:
+                loc = rk[:, kk * B:(kk + 1) * B] - base
+                for c, j0, onehot in _span_chunks(loc):
+                    y_ref[:, pl.ds(base + j0 * 128, SPAN_W)] += _oh_dot_tt(
+                        wv[:, kk * B + c * 128:kk * B + (c + 1) * 128],
+                        onehot)
+            else:
+                rk_k = rk[:, kk * B:(kk + 1) * B]
+                rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+                onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+                y_ref[:, pl.ds(base, 2 * B)] += _oh_dot_tt(
+                    wv[:, kk * B:(kk + 1) * B], onehot)
+
+    # Phase boundary: apply the window-resident Hpp^-1 ONCE over the whole
+    # rank table (9 lane-muls over ~p lanes — negligible) instead of per
+    # 2B window; the bwd gathers then read the z table directly.
+    @pl.when((ph == 1) & (s == 0) & _SPAN)
+    def _ztab():
+        yt = y_ref[:]                                # (3, p_tab)
+        ht = hinvT_ref[:]                            # (9, p_tab)
+        z_ref[:] = jnp.concatenate([
+            sum(ht[i * 3 + j:i * 3 + j + 1, :] * yt[j:j + 1, :]
+                for j in range(3))
+            for i in range(3)
+        ], axis=0)
 
     @pl.when(ph == 1)
     def _bwd():
         zgs = []
         for kk in range(NSUB_T):
             base = wstart_ref[s * NSUB_T + kk] * B
-            ywin = y_ref[:, pl.ds(base, 2 * B)]      # (3, 2B)
-            hwin = hinvT_ref[:, pl.ds(base, 2 * B)]  # (9, 2B)
-            zwin = jnp.concatenate([
-                sum(hwin[i * 3 + j:i * 3 + j + 1, :] * ywin[j:j + 1, :]
-                    for j in range(3))
-                for i in range(3)
-            ], axis=0)                               # (3, 2B)
-            rk_k = rk[:, kk * B:(kk + 1) * B]
-            rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
-            onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
-            zgs.append(_oh_dot_t(zwin, onehot))      # (3, B)
+            if _SPAN:
+                loc = rk[:, kk * B:(kk + 1) * B] - base
+                for c, j0, onehot in _span_chunks(loc):
+                    win = z_ref[:, pl.ds(base + j0 * 128, SPAN_W)]
+                    zgs.append(_oh_dot_t(win, onehot))   # (3, 128)
+            else:
+                ywin = y_ref[:, pl.ds(base, 2 * B)]      # (3, 2B)
+                hwin = hinvT_ref[:, pl.ds(base, 2 * B)]  # (9, 2B)
+                zwin = jnp.concatenate([
+                    sum(hwin[i * 3 + j:i * 3 + j + 1, :] * ywin[j:j + 1, :]
+                        for j in range(3))
+                    for i in range(3)
+                ], axis=0)                               # (3, 2B)
+                rk_k = rk[:, kk * B:(kk + 1) * B]
+                rows2 = jax.lax.broadcasted_iota(jnp.int32, (2 * B, B), 0)
+                onehot = (rows2 == (rk_k - base)).astype(jnp.bfloat16)
+                zgs.append(_oh_dot_t(zwin, onehot))      # (3, B)
         zg = jnp.concatenate(zgs, axis=1)            # (3, BL)
         bk = jnp.concatenate([
             sum(w[d * 3 + kk:d * 3 + kk + 1, :] * zg[kk:kk + 1, :]
@@ -1953,22 +2098,43 @@ def _schur_mv_t_kernel(wstart_ref, ranks_ref, cam_ref, w_ref, vtabT_ref,
                                   preferred_element_type=jnp.float32)
         bc_ref[:] += acc[:6] + acc[6:12] + acc[12:18]
 
+    if combine:
+        # Final combine S v = Hcc_d v - W Hpp^-1 W^T v in-kernel: 36
+        # lane-muls over the (6, c_p) resident tables, removing the
+        # per-CG-iteration XLA einsum + subtract glue from the PCG loop.
+        @pl.when((ph == 1) & (s == pl.num_programs(1) - 1))
+        def _comb():
+            v = vtabT_ref[:]                         # (D, c_p)
+            h = hccT_ref[:]                          # (D*D, c_p)
+            dd = v.shape[0]
+            hv = jnp.concatenate([
+                sum(h[d * dd + e:d * dd + e + 1, :] * v[e:e + 1, :]
+                    for e in range(dd))
+                for d in range(dd)
+            ], axis=0)
+            bc_ref[:] = hv - bc_ref[:]
+
 
 @partial(jax.jit, static_argnames=("p", "interpret"))
 def schur_mv_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
                idx_sorted: jnp.ndarray, vtab: jnp.ndarray,
-               hinv_rank: jnp.ndarray, p: int, interpret: bool = False):
+               hinv_rank: jnp.ndarray, p: int, hcc_d=None,
+               interpret: bool = False):
     """Fused CG matvec over the coupling table: returns
     (bc (C, D) = W Hpp^-1 W^T v reduced per camera, y (p, 3) = W^T v per
     rank).  hinv_rank is the (p, 3, 3) damped point-block inverse in RANK
     space.  Single kernel, two grid phases; W is read twice (its ~53 MB
     bf16 is ~0.13 ms of the measured ~5.7 ms/CG-iter — the savings are the
-    second launch, the XLA Hpp^-1 glue and the y/z HBM round trips)."""
+    second launch, the XLA Hpp^-1 glue and the y/z HBM round trips).
+    With hcc_d (C, D, D) given, the first return is instead the FULL Schur
+    matvec S v = hcc_d v - W Hpp^-1 W^T v (combined in-kernel)."""
     if interpret:
         y = schur_fwd_t(wT, obs_cam, idx_sorted, vtab, p, interpret=True)
         z = jnp.einsum("pij,pj->pi", hinv_rank, y)
         bc = schur_bwd_t(wT, obs_cam, idx_sorted, z, vtab.shape[0],
                          interpret=True)
+        if hcc_d is not None:
+            bc = jnp.einsum("cij,cj->ci", hcc_d, vtab) - bc
         return bc, y
     dd3, o = wT.shape
     c = vtab.shape[0]
@@ -1985,9 +2151,16 @@ def schur_mv_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
     vtabT = _pad_rows(vtab.astype(jnp.float32), c_p).T      # (6, c_p)
     hinvT = _pad_rows(hinv_rank.reshape(p, 9).astype(jnp.float32),
                       p_tab).T                              # (9, p_tab)
+    d_cam = dd3 // 3
+    combine = hcc_d is not None
+    if combine:
+        hccT = _pad_rows(hcc_d.reshape(c, d_cam * d_cam).astype(jnp.float32),
+                         c_p).T                             # (D*D, c_p)
+    else:
+        hccT = jnp.zeros((d_cam * d_cam, c_p), jnp.float32)
     wstart = jnp.minimum(ranks_p[0, ::B] // B, p_tab // B - 2).astype(jnp.int32)
     y_out, bc_out = pl.pallas_call(
-        _schur_mv_t_kernel,
+        partial(_schur_mv_t_kernel, combine),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(2, o_p // BL_T),
@@ -2002,6 +2175,8 @@ def schur_mv_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((9, p_tab), lambda ph, s, ws: (0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((d_cam * d_cam, c_p), lambda ph, s, ws: (0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((3, p_tab), lambda ph, s, ws: (0, 0),
@@ -2009,13 +2184,14 @@ def schur_mv_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
                 pl.BlockSpec((dd3 // 3, c_p), lambda ph, s, ws: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
+            scratch_shapes=[pltpu.VMEM((3, p_tab), jnp.float32)],
         ),
         out_shape=[jax.ShapeDtypeStruct((3, p_tab), jnp.float32),
                    jax.ShapeDtypeStruct((dd3 // 3, c_p), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(wstart, ranks_p, cam_p, w_p, vtabT, hinvT)
+    )(wstart, ranks_p, cam_p, w_p, vtabT, hinvT, hccT)
     return bc_out[:, :c].T, y_out[:, :p].T
 
 
