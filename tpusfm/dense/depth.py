@@ -75,6 +75,11 @@ class DenseConfig:
     # same way.
     pm_multiscale: bool = True
     pm_coarse_px: int = 120_000
+    # With the multiscale PatchMatch engaged, the plane sweep exists only
+    # to SEED the coarse PM level — so run it at half resolution too (1/4
+    # the sampling cost; the full-res sweep was ~15% of the stage).  The
+    # sweep-only config (patchmatch=False) always sweeps at full res.
+    sweep_coarse: bool = True
 
 
 def _box_mean(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -363,6 +368,10 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
                     widths += [(0, 0)] * (x.ndim - 3)
                     x = jnp.pad(x, widths, mode="edge")
                 return x[:, :H, :W]
+        sweep_half = pm_ms and cfg.sweep_coarse
+        if sweep_half:
+            norm_half_j = jax.jit(jax.vmap(
+                partial(local_normalize, w=cfg.window)))(imgs_half_j)
         _mark("setup+normalize+pack")
         for s in range(0, len(computed), B):
             sl = slice(s, s + B)
@@ -376,12 +385,14 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
                 return jnp.asarray(out)
 
             args = (pad(src_idx), pad(R_rel), pad(t_rel), pad(inv_d))
+            sw_norm, sw_K = (norm_half_j, Ks_half_j) if sweep_half \
+                else (norm_j, Ks_j)
             if mesh is not None:
                 d, c = dist_dense.plane_sweep_sharded(
-                    mesh, norm_j, Ks_j, *args, cfg=cfg)
+                    mesh, sw_norm, sw_K, *args, cfg=cfg)
             else:
                 d, c = dist_dense.plane_sweep_all_views(
-                    norm_j, Ks_j, *args, cfg=cfg)
+                    sw_norm, sw_K, *args, cfg=cfg)
             if _trace:
                 d.block_until_ready()
                 _mark(f"sweep batch {s}")
@@ -398,8 +409,9 @@ def dense_reconstruct(scene, images, rgb_images, cfg: DenseConfig = DenseConfig(
                     # batched (quarter the pixels — fits one dispatch).
                     keys_c = jax.random.split(
                         jax.random.fold_in(key, 100003 + s), B)
+                    inv_c = inv_init if sweep_half else inv_init[:, ::2, ::2]
                     c_args = (args[0], args[1], args[2],
-                              inv_init[:, ::2, ::2], lo_p, hi_p, keys_c)
+                              inv_c, lo_p, hi_p, keys_c)
                     if mesh is not None:
                         dch, _cch, nch = dist_dense.patchmatch_sharded(
                             mesh, imgs_half_j, Ks_half_j, *c_args,
