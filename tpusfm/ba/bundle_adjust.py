@@ -587,7 +587,8 @@ def _schur_diag_pose(Hcc_d, Hpp_inv, Wc, obs_cam, obs_pt, C, cfg, axis_name=None
 
 def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
                cam_group, obs_cam, obs_grp, obs_pt, obs_uv, obs_w,
-               C, G, cfg: BAConfig, prior_pos=None, prior_w=None):
+               C, G, cfg: BAConfig, prior_pos=None, prior_w=None,
+               max_iters=None):
     """LM loop where every obs-table SCATTER (assembly, Schur matvec,
     preconditioner) runs on the MXU one-hot kernels (ops/obs_table.py).
 
@@ -983,9 +984,11 @@ def _lm_pallas(pose0, gintr0, points, refine_m, upd_c, upd_g, pt_upd,
         pts_state0 = points
         pt_upd_state = pt_upd
 
+    mi = jnp.int32(cfg.max_iters) if max_iters is None \
+        else jnp.asarray(max_iters, jnp.int32)
     sys0, init_cost = linearize(pose0, gintr0, pts_state0)
     (ps, gi, pts, _, lam, final_cost, _, n_it) = jax.lax.while_loop(
-        lambda c: (c[7] < cfg.max_iters) & ~c[6],
+        lambda c: (c[7] < mi) & ~c[6],
         lm_step,
         (pose0, gintr0, pts_state0, sys0, jnp.float32(cfg.lambda_init),
          init_cost, jnp.bool_(False), jnp.int32(0)),
@@ -1030,6 +1033,11 @@ def bundle_adjust(
                                            # sparseBuilder.cpp:506-533)
     prior_weight: jnp.ndarray | None = None,  # (C,) weights (1/sigma^2);
                                               # 0/None disables
+    max_iters=None,          # RUNTIME iteration cap overriding
+                             # cfg.max_iters: step-BA and final-BA calls at
+                             # different budgets share ONE compiled program
+                             # (the warm-up's 3rd bundle_adjust trace was
+                             # exactly this cfg difference)
 ):
     """Run LM bundle adjustment. Returns (intr, cam_rot, cam_t, points, info)
     where info = {'initial_cost', 'final_cost', 'iterations', 'lambda'}
@@ -1092,7 +1100,7 @@ def bundle_adjust(
         ps, gi, pts, lam, init_cost, final_cost, n_it = _lm_pallas(
             pose0, gintr, points, refine_m, upd_c, upd_g, pt_upd, cam_group,
             obs_cam, obs_grp, obs_pt, obs_uv, obs_w, C, G, cfg,
-            prior_pos=prior_pos, prior_w=prior_w,
+            prior_pos=prior_pos, prior_w=prior_w, max_iters=max_iters,
         )
         intr_out = gi[cam_group]
         info = {
@@ -1229,12 +1237,14 @@ def bundle_adjust(
         done = done | (accept & (rel < cfg.converge_rtol))
         return ps, gi, pts, sys, lam, cost_out, done, it + 1
 
+    mi = jnp.int32(cfg.max_iters) if max_iters is None \
+        else jnp.asarray(max_iters, jnp.int32)
     sys0, init_cost = linearize(pose0, gintr, points)
     # A real while_loop (not scan): converged solves stop paying for the
     # remaining LM iterations on device — mid-reconstruction step-BAs
     # typically accept 2-4 steps and exit.
     (ps, gi, pts, _, lam, final_cost, _, n_it) = jax.lax.while_loop(
-        lambda c: (c[7] < cfg.max_iters) & ~c[6],
+        lambda c: (c[7] < mi) & ~c[6],
         lm_step,
         (pose0, gintr, points, sys0, jnp.float32(cfg.lambda_init), init_cost,
          jnp.bool_(False), jnp.int32(0)),

@@ -841,12 +841,14 @@ class IncrementalEngine:
         # The CSR row gathering produces a point-sorted, densely-relabeled
         # table by construction, so the solver can skip its per-solve sort
         # (BAConfig.assume_sorted contract).
-        bcfg = dataclasses.replace(self.cfg.ba, max_iters=iters,
+        # max_iters rides as a RUNTIME arg: every local solve shares one
+        # compiled program regardless of the iteration budget.
+        bcfg = dataclasses.replace(self.cfg.ba,
                                    fix_first_cam=False,
                                    refine_intrinsics=False,
                                    assume_sorted=True)
         _, rot, t, pts, info = jax.device_get(ba.bundle_adjust(
-            cfg=bcfg,
+            cfg=bcfg, max_iters=np.int32(iters),
             intr=jnp.asarray(intr_l), cam_rot=jnp.asarray(aa_l),
             cam_t=jnp.asarray(t_l), cam_mask=jnp.asarray(cmask),
             points=jnp.asarray(pts_l), point_mask=jnp.asarray(pmask),
@@ -865,7 +867,10 @@ class IncrementalEngine:
         # views is degenerate (focal/depth trade freely on a near-planar
         # bootstrap); freeze intrinsics until the map has enough views.
         refine = self.cfg.ba.refine_intrinsics and int(self.registered.sum()) >= 4
-        cfg = dataclasses.replace(self.cfg.ba, max_iters=iters,
+        # max_iters is a RUNTIME arg (not static cfg): step-BA and final-BA
+        # budgets share one compiled bundle_adjust per refine mode — the
+        # medium rung's warm-up paid a third full trace for this alone.
+        cfg = dataclasses.replace(self.cfg.ba,
                                   fix_first_cam=False, refine_intrinsics=refine)
         free = self.registered.copy()
         free[self.gauge_cam] = False
@@ -889,12 +894,14 @@ class IncrementalEngine:
             intr, rot, t, pts, info = jax.device_get(
                 dist_ba.bundle_adjust_sharded(
                     self.mesh, obs_cam=ocam, obs_pt=opt, obs_uv=ouv,
-                    obs_mask=omask, cfg=cfg,
+                    obs_mask=omask,
+                    cfg=dataclasses.replace(cfg, max_iters=iters),
                     cam_free_mask=jnp.asarray(free), **args, **kw,
                 ))
         else:
             intr, rot, t, pts, info = jax.device_get(ba.bundle_adjust(
-                cfg=cfg, cam_free_mask=jnp.asarray(free), **args, **kw
+                cfg=cfg, max_iters=np.int32(iters),
+                cam_free_mask=jnp.asarray(free), **args, **kw
             ))
         # device_get copies: one batched host readback per BA call.
         self.aa = np.array(rot)
