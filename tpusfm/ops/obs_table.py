@@ -1331,15 +1331,17 @@ def linearize_radial3_t(camtab: jnp.ndarray, grptab: jnp.ndarray,
     """T-layout fused linearization.  Same contract as linearize_radial3
     except obs_uvT is (2, O) and the outputs are TRANSPOSED value tables:
     (camvalsT (43|85, O), ptvalsT (12, O), wcT (18, O)[, grpvalsT, wgT])."""
-    if interpret:
-        # Interpret mode cannot lower lane-dim dynamic ref slices; delegate
-        # to the (independently verified) sublane kernels + transposes.
+    if interpret is True:
+        # Delegate to the (independently verified) sublane kernels +
+        # transposes; interpret="kernel" instead runs the REAL kernel body
+        # under pallas interpret mode (ADVICE r4 item 3).
         outs = linearize_radial3(camtab, grptab, pts_rank, obs_cam, obs_grp,
                                  ranks, obs_uvT.T, obs_w, refine=refine,
                                  refine_mask=refine_mask,
                                  huber_delta=huber_delta, interpret=True,
                                  w_dtype=w_dtype)
         return tuple(o.T for o in outs)
+    interpret = bool(interpret)
     o = ranks.shape[0]
     c = camtab.shape[0]
     g = grptab.shape[0]
@@ -1551,9 +1553,10 @@ def linearize_reduce_radial3_t(camtab: jnp.ndarray, grptab: jnp.ndarray,
     c = camtab.shape[0]
     g = grptab.shape[0]
     p = pts_rank.shape[0]
-    if interpret:
+    if interpret is True:
         # CPU path: the (verified) un-fused pieces + XLA segment sums,
-        # repacked to the fused return contract.
+        # repacked to the fused return contract.  interpret="kernel" runs
+        # the REAL fused kernel body under pallas interpret mode.
         outs = linearize_radial3_t(camtab, grptab, pts_rank, obs_cam,
                                    obs_grp, ranks, obs_uvT, obs_w,
                                    refine=refine, refine_mask=refine_mask,
@@ -1584,6 +1587,7 @@ def linearize_reduce_radial3_t(camtab: jnp.ndarray, grptab: jnp.ndarray,
                                axis=1)
             return camred, ptred, wcT, grpred, wgT
         return camred, ptred, wcT
+    interpret = bool(interpret)
     c_p = _ceil_to(max(c, 1), 8)
     g_p = _ceil_to(max(g, 1), 8)
     p_tab = _ceil_to(max(p, 1), B) + B
@@ -1692,8 +1696,9 @@ def segsum_table_t(valsT: jnp.ndarray, idx: jnp.ndarray, n: int,
     """T-layout segment sum: valsT (k, O), idx (O,) -> (n, k).
     The contraction (k, BL) @ (BL, n) is an MXU-friendly small-M matmul
     (vs the sublane kernel's narrow outputs)."""
-    if interpret:
+    if interpret is True:
         return segsum_table(valsT.T, idx, n, interpret=True)
+    interpret = bool(interpret)
     k, o = valsT.shape
     o_p = _ceil_to(max(o, 1), BL_T)
     n_p = _ceil_to(max(n, 1), 8)
@@ -1745,8 +1750,9 @@ def segsum_sorted_t(valsT: jnp.ndarray, idx_sorted: jnp.ndarray, p: int,
                     interpret: bool = False):
     """T-layout sorted segment sum: valsT (k, O), dense sorted ranks ->
     (p, k).  Resident (k, p_tab) accumulator, lane-window scatters."""
-    if interpret:
+    if interpret is True:
         return segsum_sorted(valsT.T, idx_sorted, p, interpret=True)
+    interpret = bool(interpret)
     k, o = valsT.shape
     o_p = _ceil_to(max(o, 1), BL_T)
     p_tab = _ceil_to(max(p, 1), B) + B
@@ -1830,6 +1836,7 @@ def schur_fwd_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
                 interpret: bool = False):
     """T-layout schur_fwd: wT (3D, O) [f32 or bf16], obs_cam (O,), sorted
     dense ranks, vtab (C, D) -> (p, 3) per-rank sums."""
+    interpret = bool(interpret)
     dd3, o = wT.shape
     c = vtab.shape[0]
     o_p = _ceil_to(max(o, 1), BL_T)
@@ -1942,9 +1949,16 @@ def schur_bwd_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
                 idx_sorted: jnp.ndarray, ztab: jnp.ndarray, n: int,
                 interpret: bool = False):
     """T-layout schur_bwd: wT (3D, O), sorted dense ranks into ztab (P, 3),
-    obs_cam (O,) -> (n, D)."""
-    if interpret:
+    obs_cam (O,) -> (n, D).
+
+    interpret=True delegates to the sublane kernels (CPU tests);
+    interpret="kernel" runs THIS kernel body under pallas interpret mode —
+    the advisor-requested path that executes the real kernel math in CI
+    (ADVICE r4: a regression in the kernel body would otherwise only be
+    caught by the on-chip script)."""
+    if interpret is True:
         return schur_bwd(wT.T, obs_cam, idx_sorted, ztab, n, interpret=True)
+    interpret = bool(interpret)
     dd3, o = wT.shape
     p_z = ztab.shape[0]
     o_p = _ceil_to(max(o, 1), BL_T)
@@ -2128,7 +2142,7 @@ def schur_mv_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
     second launch, the XLA Hpp^-1 glue and the y/z HBM round trips).
     With hcc_d (C, D, D) given, the first return is instead the FULL Schur
     matvec S v = hcc_d v - W Hpp^-1 W^T v (combined in-kernel)."""
-    if interpret:
+    if interpret is True:
         y = schur_fwd_t(wT, obs_cam, idx_sorted, vtab, p, interpret=True)
         z = jnp.einsum("pij,pj->pi", hinv_rank, y)
         bc = schur_bwd_t(wT, obs_cam, idx_sorted, z, vtab.shape[0],
@@ -2136,6 +2150,7 @@ def schur_mv_t(wT: jnp.ndarray, obs_cam: jnp.ndarray,
         if hcc_d is not None:
             bc = jnp.einsum("cij,cj->ci", hcc_d, vtab) - bc
         return bc, y
+    interpret = bool(interpret)
     dd3, o = wT.shape
     c = vtab.shape[0]
     o_p = _ceil_to(max(o, 1), BL_T)
